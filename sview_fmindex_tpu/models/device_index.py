@@ -1,0 +1,153 @@
+"""DeviceFmIndex: the FM-index as a pytree of device arrays.
+
+This is the TPU-native execution form of the blob (SURVEY.md §7): the blob's
+sections become packed device arrays —
+
+- ``fused``     uint32 [n_blocks, sigma + planes*lanes]: rank checkpoints and
+  bit-plane lanes interleaved per block so one rank query = one row gather,
+- ``kmer_tbl``  uint32 [(sigma+1)^k], ``count_arr`` uint32 [sigma+1],
+- ``sa``        uint32 [ceil(n/r)], ``sentinel`` uint32 scalar,
+- ``enc_table`` uint8 [256] (identity for PassThrough).
+
+Queries are batched and jitted; see ``sview_fmindex_tpu.ops``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BuildError
+from ..encoders import EncodingTable
+from ..ops import locate as locate_ops
+from ..ops import search as search_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexMeta:
+    """Static (hashable) shape parameters; the jit specialization key."""
+
+    sigma: int
+    kmer_size: int
+    sampling_ratio: int
+    block_len: int
+    num_planes: int
+    num_lanes: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fused", "kmer_tbl", "count_arr", "sa", "sentinel", "enc_table"],
+    meta_fields=["meta"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceFmIndex:
+    fused: jax.Array
+    kmer_tbl: jax.Array
+    count_arr: jax.Array
+    sa: jax.Array
+    sentinel: jax.Array
+    enc_table: jax.Array
+    meta: IndexMeta
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_host(cls, fm, device=None) -> "DeviceFmIndex":
+        """Upload a host ``FmIndex`` (the blob's zero-copy views) to device."""
+        kind = fm.block
+        if fm.text_len >= 2**32:
+            raise BuildError("device path currently requires positions < 2^32")
+        if len(fm.kmer_count_table) >= 2**31:
+            raise BuildError("kmer table too large for int32 device indexing")
+
+        n_blocks = fm.rank_checkpoints.shape[0]
+        sigma = fm.symbol_count
+        width = sigma + kind.num_planes * kind.num_lanes
+        fused = np.empty((n_blocks, width), dtype=np.uint32)
+        fused[:, :sigma] = fm.rank_checkpoints.astype(np.uint32)
+        fused[:, sigma:] = np.ascontiguousarray(fm.lanes).reshape(n_blocks, -1)
+
+        if isinstance(fm.encoder, EncodingTable):
+            enc_table = fm.encoder.table
+        else:
+            enc_table = np.arange(256, dtype=np.uint8)
+
+        put = functools.partial(jax.device_put, device=device)
+        meta = IndexMeta(
+            sigma=sigma,
+            kmer_size=fm.kmer_size,
+            sampling_ratio=fm.sampling_ratio,
+            block_len=kind.block_len,
+            num_planes=kind.num_planes,
+            num_lanes=kind.num_lanes,
+        )
+        return cls(
+            fused=put(fused),
+            kmer_tbl=put(fm.kmer_count_table.astype(np.uint32)),
+            count_arr=put(fm.count_array.astype(np.uint32)),
+            sa=put(fm.suffix_array.astype(np.uint32)),
+            sentinel=put(np.uint32(fm.sentinel_index)),
+            enc_table=put(enc_table),
+            meta=meta,
+        )
+
+    # ------------------------------------------------------------------
+    def count(self, patterns, lens=None) -> jax.Array:
+        """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
+        EncodingTable indexes, symbol indices for PassThrough)."""
+        patterns, lens = _as_batch(patterns, lens)
+        return _count_jit(self, patterns, lens)
+
+    def pos_ranges(self, patterns, lens=None):
+        patterns, lens = _as_batch(patterns, lens)
+        return _ranges_jit(self, patterns, lens)
+
+    def locate(self, patterns, lens=None, capacity: int | None = None):
+        """Returns (locations uint32 [capacity], pattern_ids int32, valid bool).
+
+        ``capacity`` is the static output budget; when None it is sized from
+        the counts (rounded up to a power of two to bound recompiles).
+        """
+        patterns, lens = _as_batch(patterns, lens)
+        lo, hi = _ranges_jit(self, patterns, lens)
+        if capacity is None:
+            total = int(jnp.sum(hi - lo))
+            capacity = max(1 << max(total - 1, 1).bit_length(), 64)
+        return _locate_jit(self, lo, hi, capacity)
+
+
+def _as_batch(patterns, lens):
+    patterns = jnp.asarray(patterns, dtype=jnp.uint8)
+    if patterns.ndim == 1:
+        patterns = patterns[None, :]
+    if lens is None:
+        lens = jnp.full(patterns.shape[0], patterns.shape[1], dtype=jnp.int32)
+    else:
+        lens = jnp.asarray(lens, dtype=jnp.int32)
+    return patterns, lens
+
+
+@jax.jit
+def _count_jit(idx: DeviceFmIndex, patterns, lens):
+    return search_ops.count_batch(
+        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
+        idx.enc_table, patterns, lens,
+    )
+
+
+@jax.jit
+def _ranges_jit(idx: DeviceFmIndex, patterns, lens):
+    sym = search_ops.encode_patterns(idx.enc_table, patterns)
+    return search_ops.pos_ranges(
+        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _locate_jit(idx: DeviceFmIndex, lo, hi, capacity: int):
+    return locate_ops.locate_rows(
+        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity
+    )

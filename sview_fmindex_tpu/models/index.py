@@ -139,6 +139,12 @@ class FmIndex:
     def blob(self) -> np.ndarray:
         return self._blob
 
+    def to_device(self, device=None):
+        """Upload to a :class:`DeviceFmIndex` for batched TPU queries."""
+        from .device_index import DeviceFmIndex
+
+        return DeviceFmIndex.from_host(self, device=device)
+
     # ------------------------------------------------------------------
     # Query engine (scalar oracle)
     # ------------------------------------------------------------------

@@ -1,0 +1,117 @@
+"""Device (batched JAX) engine vs host oracle — must agree bit-exactly.
+
+Runs on the virtual CPU backend (conftest.py); the same code path runs on TPU.
+"""
+import random
+
+import numpy as np
+import pytest
+
+from sview_fmindex_tpu import (
+    BlockKind,
+    EncodingTable,
+    FmIndex,
+    FmIndexBuilder,
+    LookupTableConfig,
+    PassThrough,
+    SuffixArrayConfig,
+)
+from sview_fmindex_tpu.utils.patterns import pack_patterns
+
+from oracle import brute_force_locate, gen_rand_pattern, gen_rand_symbols, gen_rand_text
+
+
+def _build(text, symbols, block, r, k, position="u32"):
+    enc = EncodingTable.from_symbols(symbols)
+    builder = FmIndexBuilder(
+        len(text), enc.symbol_count(), enc, position=position, block=block,
+        suffix_array_config=SuffixArrayConfig.compressed(r) if r > 1 else None,
+        lookup_table_config=LookupTableConfig.kmer_size(k) if k > 1 else None,
+    )
+    blob = builder.build(text)
+    return FmIndex.load(blob, position=position, block=block, encoder_kind="table")
+
+
+@pytest.mark.parametrize("block,r,k", [
+    (BlockKind(2, 64), 2, 3),
+    (BlockKind(2, 32), 1, 1),
+    (BlockKind(3, 64), 3, 2),
+    (BlockKind(3, 128), 2, 3),
+    (BlockKind(4, 64), 4, 4),
+    (BlockKind(6, 64), 2, 2),
+])
+def test_device_matches_host(block, r, k):
+    rng = random.Random(block.num_planes * 1000 + block.vector_bits + r * 7 + k)
+    sym_count = rng.randint(2, min(block.max_symbol, 10))
+    symbols = gen_rand_symbols(rng, sym_count)
+    text = gen_rand_text(rng, symbols, 300, 600)
+    fm = _build(text, symbols, block, r, k)
+    dev = fm.to_device()
+
+    patterns = [gen_rand_pattern(rng, text, 1, 12) for _ in range(40)]
+    # include a pattern guaranteed absent (wildcard byte not at text end...)
+    batch, lens = pack_patterns(patterns)
+
+    counts = np.asarray(dev.count(batch, lens))
+    for i, p in enumerate(patterns):
+        assert counts[i] == fm.count(p), (i, p)
+
+    locs, pat_ids, valid = dev.locate(batch, lens)
+    locs, pat_ids, valid = map(np.asarray, (locs, pat_ids, valid))
+    by_pattern = {i: [] for i in range(len(patterns))}
+    for loc, pid, ok in zip(locs, pat_ids, valid):
+        if ok:
+            by_pattern[int(pid)].append(int(loc))
+    for i, p in enumerate(patterns):
+        assert sorted(by_pattern[i]) == sorted(fm.locate(p)), (i, p)
+
+
+def test_device_readme_example():
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    text = b"CTCCGTACACCTGTTTCGTATCGGAXXYYZZ"
+    fm = _build(text, symbols, BlockKind(2, 64), 1, 1)
+    dev = fm.to_device()
+
+    batch, lens = pack_patterns([b"TA", b"UNDEF", b"XXXXX"])
+    counts = np.asarray(dev.count(batch, lens))
+    assert counts.tolist() == [2, 2, 2]
+
+    locs, pat_ids, valid = map(np.asarray, dev.locate(batch, lens))
+    got = {i: sorted(int(l) for l, p, v in zip(locs, pat_ids, valid) if v and p == i)
+           for i in range(3)}
+    assert got == {0: [5, 18], 1: [25, 26], 2: [25, 26]}
+
+
+def test_device_mixed_lengths_and_short_patterns():
+    """Lengths below/above/equal to k in one batch; empty ranges too."""
+    rng = random.Random(99)
+    symbols = gen_rand_symbols(rng, 4)
+    text = gen_rand_text(rng, symbols, 400, 500)
+    fm = _build(text, symbols, BlockKind(2, 64), 2, 4)
+    dev = fm.to_device()
+    enc = fm.encoder
+    text_sym = enc.encode(np.frombuffer(text, np.uint8))
+
+    patterns = [gen_rand_pattern(rng, text, l, l) for l in (1, 2, 3, 4, 5, 9, 1, 16)]
+    batch, lens = pack_patterns(patterns)
+    counts = np.asarray(dev.count(batch, lens))
+    for i, p in enumerate(patterns):
+        expected = brute_force_locate(text_sym, enc.encode(np.frombuffer(p, np.uint8)))
+        assert counts[i] == len(expected)
+
+
+def test_device_passthrough_encoder():
+    rng = random.Random(5)
+    symbols = gen_rand_symbols(rng, 3)
+    enc = EncodingTable.from_symbols(symbols)
+    text = gen_rand_text(rng, symbols, 200, 300)
+    text_sym = enc.encode(np.frombuffer(text, np.uint8))
+    builder = FmIndexBuilder(len(text), enc.symbol_count(), PassThrough(), block=BlockKind(2, 64),
+                             suffix_array_config=SuffixArrayConfig.compressed(2))
+    fm = FmIndex.load(builder.build(text_sym), block=BlockKind(2, 64), encoder_kind="pass")
+    dev = fm.to_device()
+    for _ in range(10):
+        p = gen_rand_pattern(rng, text, 2, 8)
+        ps = enc.encode(np.frombuffer(p, np.uint8))
+        batch, lens = pack_patterns([ps])
+        assert int(np.asarray(dev.count(batch, lens))[0]) == fm.count(ps)
