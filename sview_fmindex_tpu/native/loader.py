@@ -29,8 +29,16 @@ def _load():
         if _lib is not None or _load_failed:
             return _lib
         if not os.path.exists(_LIB_PATH):
-            _load_failed = True
-            return None
+            if os.environ.get("SVIEW_FMINDEX_NO_AUTOBUILD"):
+                _load_failed = True
+                return None
+            try:  # build on first use (g++ is a baseline dependency)
+                from . import build_native
+
+                build_native.build(verbose=False)
+            except Exception:
+                _load_failed = True
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.sview_sais_u8.argtypes = [
