@@ -1,0 +1,136 @@
+"""Headline benchmark: locate queries/sec/chip on the README benchmark config.
+
+Mirrors the reference's methodology (``bench/run_benchmark.sh``, README
+tables, BASELINE.md): random nucleotide text (seed 42), 20 bp patterns
+extracted from the text, cold=100% (all unique), index = u32 positions /
+Block3<u64> / SA sampling 2 / k-mer LUT 3.
+
+Baseline anchor (BASELINE.md): ~2.3e5 locate/s single Xeon core, in-memory.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  BENCH_TEXT_SIZE      text length (default 1e8)
+  BENCH_PATTERN_COUNT  number of 20 bp patterns (default 100_000)
+  BENCH_CACHE_DIR      blob cache dir (default ./bench_cache)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TEXT_SIZE = int(float(os.environ.get("BENCH_TEXT_SIZE", "1e8")))
+PATTERN_COUNT = int(float(os.environ.get("BENCH_PATTERN_COUNT", "1e5")))
+PATTERN_LEN = 20
+SEED = 42
+BASELINE_LOCATE_QPS = 2.3e5  # BASELINE.md derived anchor
+
+CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", os.path.join(os.path.dirname(__file__), "bench_cache"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_text() -> bytes:
+    path = os.path.join(CACHE_DIR, f"text_{TEXT_SIZE}_{SEED}.bin")
+    if os.path.exists(path):
+        return np.fromfile(path, dtype=np.uint8).tobytes()
+    rng = np.random.default_rng(SEED)
+    text = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=TEXT_SIZE)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    text.tofile(path)
+    return text.tobytes()
+
+
+def get_blob(text: bytes):
+    from sview_fmindex_tpu import (
+        BLOCK3_U64,
+        EncodingTable,
+        FmIndex,
+        FmIndexBuilder,
+        LookupTableConfig,
+        SuffixArrayConfig,
+    )
+
+    path = os.path.join(CACHE_DIR, f"index_{TEXT_SIZE}_{SEED}_b3u64_r2_k3.blob")
+    if not os.path.exists(path):
+        enc = EncodingTable.from_symbols([b"A", b"C", b"G", b"T"])
+        builder = FmIndexBuilder(
+            len(text), enc.symbol_count(), enc, position="u32", block=BLOCK3_U64,
+            suffix_array_config=SuffixArrayConfig.compressed(2),
+            lookup_table_config=LookupTableConfig.kmer_size(3),
+        )
+        t0 = time.time()
+        blob = builder.build(text)
+        log(f"[bench] built index for {TEXT_SIZE} bp in {time.time()-t0:.1f}s "
+            f"({len(blob)/2**20:.0f} MiB); caching")
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    return FmIndex.load(mm, position="u32", block=BLOCK3_U64, encoder_kind="table")
+
+
+def main() -> None:
+    import jax
+
+    log(f"[bench] devices: {jax.devices()}")
+    text = get_text()
+    t0 = time.time()
+    fm = get_blob(text)
+    log(f"[bench] blob load: {time.time()-t0:.2f}s")
+
+    t0 = time.time()
+    dev = fm.to_device()
+    log(f"[bench] device upload: {time.time()-t0:.2f}s")
+
+    rng = np.random.default_rng(SEED + 1)
+    starts = rng.integers(0, TEXT_SIZE - PATTERN_LEN, size=PATTERN_COUNT)
+    text_arr = np.frombuffer(text, np.uint8)
+    patterns = np.stack([text_arr[s : s + PATTERN_LEN] for s in starts])
+    lens = np.full(PATTERN_COUNT, PATTERN_LEN, dtype=np.int32)
+
+    # ---- count-only throughput ----
+    counts = np.asarray(dev.count(patterns, lens))  # warmup + correctness
+    assert (counts >= 1).all()
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        dev.count(patterns, lens).block_until_ready()
+    count_qps = reps * PATTERN_COUNT / (time.time() - t0)
+    log(f"[bench] count-only: {count_qps/1e6:.3f} Mq/s")
+
+    # ---- locate throughput (ranges + expansion + SA walk) ----
+    total = int(counts.sum())
+    capacity = max(1 << (total - 1).bit_length(), 1024)
+    locs, pids, valid = dev.locate(patterns, lens, capacity=capacity)  # warmup
+    locs.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        locs, pids, valid = dev.locate(patterns, lens, capacity=capacity)
+        locs.block_until_ready()
+    locate_qps = reps * PATTERN_COUNT / (time.time() - t0)
+    log(f"[bench] locate: {locate_qps/1e6:.3f} Mq/s ({total} hits, capacity {capacity})")
+
+    # spot-check correctness on device results
+    locs_np, pids_np, valid_np = map(np.asarray, (locs, pids, valid))
+    idx = np.nonzero(valid_np)[0][:50]
+    for i in idx:
+        l, p = int(locs_np[i]), int(pids_np[i])
+        assert bytes(text_arr[l : l + PATTERN_LEN]) == bytes(patterns[p]), (l, p)
+
+    print(json.dumps({
+        "metric": "locate_queries_per_sec_per_chip",
+        "value": round(locate_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(locate_qps / BASELINE_LOCATE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

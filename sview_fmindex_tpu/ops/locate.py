@@ -63,7 +63,9 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
     pos = rows
     offset = jnp.zeros_like(rows)
     loc = jnp.zeros_like(rows)
-    done = jnp.zeros(rows.shape, dtype=bool)
+    # derive from `valid` so the carry is typed as device-varying under
+    # shard_map (a plain constant would fail the while_loop vma check)
+    done = valid & False
     if r > 1:
         pos, offset, loc, done = jax.lax.while_loop(cond, body, (pos, offset, loc, done))
     sampled = jnp.take(sa, (pos // U32(r)).astype(jnp.int32))

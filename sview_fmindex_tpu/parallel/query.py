@@ -1,0 +1,146 @@
+"""Sharded batched queries: pattern-DP over a device mesh.
+
+The scale-out model (SURVEY.md §2, BASELINE.json north star):
+
+- the packed index (a :class:`DeviceFmIndex` pytree) is REPLICATED on every
+  device of the mesh,
+- pattern batches are sharded along the batch axis (``dp``),
+- each shard runs the identical lockstep backward search locally
+  (zero communication on the hot path),
+- locate results come back batch-sharded; the concatenation at the
+  ``out_specs`` boundary is the all-gather result merge.
+
+This replaces the reference's sequential per-pattern loop
+(``locate/with_slice.rs:21-33``) — there is no reference analog to cite for
+the collectives because the reference has none (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.device_index import DeviceFmIndex
+from ..ops import locate as locate_ops
+from ..ops import search as search_ops
+from .mesh import DP_AXIS, make_mesh
+
+
+class ShardedFmIndex:
+    """A DeviceFmIndex replicated over a mesh, queried pattern-data-parallel."""
+
+    def __init__(self, index: DeviceFmIndex, mesh=None, axis: str = DP_AXIS):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        replicated = NamedSharding(self.mesh, P())
+        self.index = jax.tree.map(lambda x: jax.device_put(x, replicated), index)
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    # ------------------------------------------------------------------
+    def _pad(self, patterns, lens):
+        patterns = np.asarray(patterns, dtype=np.uint8)
+        lens = np.asarray(lens, dtype=np.int32)
+        b = patterns.shape[0]
+        n = self.n_devices
+        pad = (-b) % n
+        if pad:
+            patterns = np.concatenate([patterns, np.zeros((pad, patterns.shape[1]), np.uint8)])
+            # padded lanes get length 1 (a real LF-able value) but are sliced off
+            lens = np.concatenate([lens, np.ones(pad, np.int32)])
+        return patterns, lens, b
+
+    def count(self, patterns, lens):
+        patterns, lens, b = self._pad(patterns, lens)
+        counts = _count_sharded(self.index, patterns, lens, self.mesh, self.axis)
+        return counts[:b]
+
+    def pos_ranges(self, patterns, lens):
+        patterns, lens, b = self._pad(patterns, lens)
+        lo, hi = _ranges_sharded(self.index, patterns, lens, self.mesh, self.axis)
+        return lo[:b], hi[:b]
+
+    def locate(self, patterns, lens, capacity_per_shard: int | None = None):
+        """Returns (locations, pattern_ids, valid) concatenated over shards;
+        pattern_ids are GLOBAL batch indices (padding lanes excluded via
+        valid)."""
+        patterns, lens, b = self._pad(patterns, lens)
+        if capacity_per_shard is None:
+            counts = np.array(
+                _count_sharded(self.index, patterns, lens, self.mesh, self.axis)
+            )
+            counts[b:] = 0  # padding lanes contribute nothing
+            per_shard = patterns.shape[0] // self.n_devices
+            worst = int(counts.reshape(self.n_devices, per_shard).sum(axis=1).max())
+            capacity_per_shard = max(1 << max(worst - 1, 1).bit_length(), 64)
+        locs, pids, valid = _locate_sharded(
+            self.index, patterns, lens, self.mesh, self.axis, capacity_per_shard
+        )
+        valid = np.asarray(valid) & (np.asarray(pids) < b)
+        return np.asarray(locs), np.asarray(pids), valid
+
+
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _count_sharded(idx, patterns, lens, mesh, axis):
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(idx, patterns, lens):
+        return search_ops.count_batch(
+            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
+            idx.enc_table, patterns, lens,
+        )
+
+    return run(idx, patterns, lens)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _ranges_sharded(idx, patterns, lens, mesh, axis):
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(idx, patterns, lens):
+        sym = search_ops.encode_patterns(idx.enc_table, patterns)
+        return search_ops.pos_ranges(
+            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+        )
+
+    return run(idx, patterns, lens)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _locate_sharded(idx, patterns, lens, mesh, axis, capacity_per_shard):
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def run(idx, patterns, lens):
+        sym = search_ops.encode_patterns(idx.enc_table, patterns)
+        lo, hi = search_ops.pos_ranges(
+            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+        )
+        locs, pids, valid = locate_ops.locate_rows(
+            idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
+            lo, hi, capacity_per_shard,
+        )
+        # lift local pattern ids to global batch indices
+        shard = jax.lax.axis_index(axis).astype(jnp.int32)
+        pids = pids + shard * patterns.shape[0]
+        return locs, pids, valid
+
+    return run(idx, patterns, lens)

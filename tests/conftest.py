@@ -1,7 +1,16 @@
-"""Force tests onto an 8-device virtual CPU mesh (no TPU needed)."""
+"""Force tests onto an 8-device virtual CPU mesh (no TPU needed).
+
+The container's sitecustomize registers the axon TPU backend and presets
+JAX_PLATFORMS=axon before pytest starts, so plain env setdefault is too
+late; override the jax config after import instead.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
