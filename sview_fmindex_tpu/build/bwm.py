@@ -41,13 +41,21 @@ def checkpoints_and_planes(
     symidx = bwt_plus1 - np.uint8(1)
 
     # --- checkpoints: exclusive cumulative per-symbol counts per block ---
-    per_block = np.zeros(data_blocks * sigma, dtype=np.int64)
-    for start in range(0, n, _CHUNK):
-        stop = min(start + _CHUNK, n)
-        block_id = np.arange(start, stop, dtype=np.int64) // L
-        flat = block_id * sigma + symidx[start:stop]
-        per_block += np.bincount(flat, minlength=data_blocks * sigma)
-    per_block = per_block.reshape(data_blocks, sigma)
+    # (equality-sum over the reshaped block matrix; orders of magnitude
+    # faster than a flat bincount for Gbp inputs).  Zero padding of the
+    # final partial block inflates its symbol-0 count, but that block's
+    # counts only ever feed the unused last cumsum row: when pad > 0,
+    # data_blocks == n_blocks and ckpt rows stop at cum[n_blocks - 2].
+    pad = data_blocks * L - n
+    if pad:
+        sym2d = np.concatenate([symidx, np.zeros(pad, np.uint8)]).reshape(
+            data_blocks, L
+        )
+    else:
+        sym2d = symidx.reshape(data_blocks, L)
+    per_block = np.empty((data_blocks, sigma), dtype=np.int64)
+    for c in range(sigma):
+        per_block[:, c] = (sym2d == c).sum(axis=1)
     cum = np.cumsum(per_block, axis=0, dtype=np.int64)
     # row 0 = zeros; row b = counts before block b.  Whether the last data
     # block is partial (data_blocks == n_blocks) or the text divides evenly
@@ -56,12 +64,7 @@ def checkpoints_and_planes(
     ckpt = np.zeros((n_blocks, sigma), dtype=np.uint64)
     ckpt[1:] = cum[: n_blocks - 1].astype(np.uint64)
 
-    # --- bit planes, MSB-first ---
-    pad = data_blocks * L - n
-    if pad:
-        sym2d = np.concatenate([symidx, np.zeros(pad, np.uint8)]).reshape(data_blocks, L)
-    else:
-        sym2d = symidx.reshape(data_blocks, L)
+    # --- bit planes, MSB-first (reuses the zero-padded sym2d) ---
     lanes = np.empty((n_blocks, kind.num_planes, kind.num_lanes), dtype=np.uint32)
     for j in range(kind.num_planes):
         bits = (sym2d >> j) & 1

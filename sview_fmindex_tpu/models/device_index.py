@@ -7,7 +7,8 @@ sections become packed device arrays —
   bit-plane lanes interleaved per block so one rank query = one row gather,
 - ``kmer_tbl``  uint32 [(sigma+1)^k], ``count_arr`` uint32 [sigma+1],
 - ``sa``        uint32 [ceil(n/r)], ``sentinel`` uint32 scalar,
-- ``enc_table`` uint8 [256] (identity for PassThrough).
+- ``enc_table`` int32 [256] (identity for PassThrough; int32 because
+  sub-word gather tables compile pathologically on TPU).
 
 Queries are batched and jitted; see ``sview_fmindex_tpu.ops``.
 """
@@ -70,10 +71,12 @@ class DeviceFmIndex:
         fused[:, :sigma] = fm.rank_checkpoints.astype(np.uint32)
         fused[:, sigma:] = np.ascontiguousarray(fm.lanes).reshape(n_blocks, -1)
 
+        # int32, not uint8: gathers from sub-word tables hang the TPU
+        # compiler (axon); a 1 KiB table costs nothing widened.
         if isinstance(fm.encoder, EncodingTable):
-            enc_table = fm.encoder.table
+            enc_table = fm.encoder.table.astype(np.int32)
         else:
-            enc_table = np.arange(256, dtype=np.uint8)
+            enc_table = np.arange(256, dtype=np.int32)
 
         put = functools.partial(jax.device_put, device=device)
         meta = IndexMeta(

@@ -47,6 +47,12 @@ def _load():
                 ctypes.c_int64,
             ]
             lib.sview_sais_u8.restype = ctypes.c_int32
+            lib.sview_sais_u8_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+            ]
+            lib.sview_sais_u8_i32.restype = ctypes.c_int32
             _lib = lib
         except OSError:
             _load_failed = True
@@ -59,7 +65,11 @@ def available() -> bool:
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """SA-IS over uint8 array ``s`` (sentinel-terminated). Returns int64 SA."""
+    """SA-IS over uint8 array ``s`` (sentinel-terminated).
+
+    Returns int32 SA for n < 2^31 (the Gbp-scale memory-lean path), int64
+    beyond.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError(
@@ -67,12 +77,20 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         )
     assert s.dtype == np.uint8 and s.flags.c_contiguous
     n = len(s)
-    sa = np.empty(n, dtype=np.int64)
-    rc = lib.sview_sais_u8(
-        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.c_int64(n),
-    )
+    if n < 2**31:
+        sa = np.empty(n, dtype=np.int32)
+        rc = lib.sview_sais_u8_i32(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n),
+        )
+    else:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.sview_sais_u8(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+        )
     if rc != 0:
         raise RuntimeError(f"native SA-IS failed with code {rc}")
     return sa

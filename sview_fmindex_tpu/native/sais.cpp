@@ -31,7 +31,7 @@ void get_buckets(const C* s, I* bkt, I n, I K, bool end) {
 }
 
 template <typename C, typename I>
-void induce_l(const C* s, I* sa, const std::vector<bool>& t, I* bkt, I n, I K) {
+void induce_l(const C* s, I* sa, const uint8_t* t, I* bkt, I n, I K) {
     get_buckets<C, I>(s, bkt, n, K, false);
     for (I i = 0; i < n; ++i) {
         I j = sa[i] - 1;
@@ -40,7 +40,7 @@ void induce_l(const C* s, I* sa, const std::vector<bool>& t, I* bkt, I n, I K) {
 }
 
 template <typename C, typename I>
-void induce_s(const C* s, I* sa, const std::vector<bool>& t, I* bkt, I n, I K) {
+void induce_s(const C* s, I* sa, const uint8_t* t, I* bkt, I n, I K) {
     get_buckets<C, I>(s, bkt, n, K, true);
     for (I i = n - 1; i >= 0; --i) {
         I j = sa[i] - 1;
@@ -55,8 +55,9 @@ void sais_core(const C* s, I* sa, I n, I K) {
         sa[0] = 0;
         return;
     }
-    std::vector<bool> t((size_t)n);
-    t[(size_t)(n - 1)] = true;  // sentinel suffix is S-type
+    std::vector<uint8_t> t_vec((size_t)n);
+    uint8_t* t = t_vec.data();
+    t[(size_t)(n - 1)] = 1;  // sentinel suffix is S-type
     for (I i = n - 2; i >= 0; --i)
         t[(size_t)i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && t[(size_t)(i + 1)]);
 
@@ -148,6 +149,16 @@ int32_t sview_sais_u8(const uint8_t* s, int64_t* sa_out, int64_t n) {
     } else {
         sais_core<uint8_t, int64_t>(s, sa_out, n, (int64_t)255);
     }
+    return 0;
+}
+
+// int32 variant for n < 2^31: writes straight into sa_out, no widening copy
+// and no 8n-byte output buffer (the 1 Gbp build path).
+int32_t sview_sais_u8_i32(const uint8_t* s, int32_t* sa_out, int64_t n) {
+    if (n <= 0 || n >= (int64_t)1 << 31) return 1;
+    for (int64_t i = 0; i + 1 < n; ++i)
+        if (s[i] <= s[n - 1]) return 2;  // sentinel not unique smallest
+    sais_core<uint8_t, int32_t>(s, sa_out, (int32_t)n, (int32_t)255);
     return 0;
 }
 
