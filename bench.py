@@ -79,6 +79,14 @@ def get_blob(text: bytes):
 def main() -> None:
     import jax
 
+    # persistent compile cache: the driver re-runs this on fresh processes
+    cache_dir = os.path.join(CACHE_DIR, "xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     log(f"[bench] devices: {jax.devices()}")
     text = get_text()
     t0 = time.time()
@@ -99,25 +107,32 @@ def main() -> None:
     patterns = jnp.asarray(patterns_np)
     lens = jnp.full(PATTERN_COUNT, PATTERN_LEN, dtype=jnp.int32)
 
-    # ---- count-only throughput ----
+    # ---- count-only throughput (the ranges executable IS count) ----
+    # NB: timing forces a device->host scalar each rep; axon's
+    # block_until_ready acks before execution completes.
+    t0 = time.time()
     counts = np.asarray(dev.count(patterns, lens))  # warmup + correctness
+    log(f"[bench] count warmup: {time.time()-t0:.1f}s")
     assert (counts >= 1).all()
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        dev.count(patterns, lens).block_until_ready()
+        c = dev.count(patterns, lens)
+        float(c.sum())  # force full execution + round-trip
     count_qps = reps * PATTERN_COUNT / (time.time() - t0)
     log(f"[bench] count-only: {count_qps/1e6:.3f} Mq/s")
 
-    # ---- locate throughput (ranges + expansion + SA walk) ----
+    # ---- locate throughput: ONE executable (search+expand+walk) ----
     total = int(counts.sum())
     capacity = max(1 << (total - 1).bit_length(), 1024)
-    locs, pids, valid = dev.locate(patterns, lens, capacity=capacity)  # warmup
+    t0 = time.time()
+    locs, pids, valid, c2 = dev.locate_with_counts(patterns, lens, capacity=capacity)
     locs.block_until_ready()
+    log(f"[bench] locate warmup: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(reps):
-        locs, pids, valid = dev.locate(patterns, lens, capacity=capacity)
-        locs.block_until_ready()
+        locs, pids, valid, c2 = dev.locate_with_counts(patterns, lens, capacity=capacity)
+        float(locs.max())  # force full execution + round-trip
     locate_qps = reps * PATTERN_COUNT / (time.time() - t0)
     log(f"[bench] locate: {locate_qps/1e6:.3f} Mq/s ({total} hits, capacity {capacity})")
 

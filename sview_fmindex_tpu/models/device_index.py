@@ -98,11 +98,18 @@ class DeviceFmIndex:
         )
 
     # ------------------------------------------------------------------
+    # Exactly TWO jit programs serve every query (the axon TPU runtime
+    # pays a first-call cost per executable proportional to the index
+    # bytes, so fewer executables = cheaper warmup): _ranges_jit
+    # (backward search -> [lo, hi), counts = hi - lo) and _locate_jit
+    # (the full pattern -> locations pipeline in one program).
+
     def count(self, patterns, lens=None) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
         EncodingTable indexes, symbol indices for PassThrough)."""
         patterns, lens = _as_batch(patterns, lens)
-        return _count_jit(self, patterns, lens)
+        lo, hi = _ranges_jit(self, patterns, lens)
+        return hi - lo
 
     def pos_ranges(self, patterns, lens=None):
         patterns, lens = _as_batch(patterns, lens)
@@ -113,13 +120,21 @@ class DeviceFmIndex:
 
         ``capacity`` is the static output budget; when None it is sized from
         the counts (rounded up to a power of two to bound recompiles).
+        Passing an explicit capacity keeps the whole query in ONE executable.
         """
         patterns, lens = _as_batch(patterns, lens)
-        lo, hi = _ranges_jit(self, patterns, lens)
         if capacity is None:
+            lo, hi = _ranges_jit(self, patterns, lens)
             total = int(jnp.sum(hi - lo))
             capacity = max(1 << max(total - 1, 1).bit_length(), 64)
-        return _locate_jit(self, lo, hi, capacity)
+        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, capacity)
+        return locs, pids, valid
+
+    def locate_with_counts(self, patterns, lens=None, capacity: int = 1024):
+        """One-executable variant: (locs, pids, valid, counts)."""
+        patterns, lens = _as_batch(patterns, lens)
+        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, capacity)
+        return locs, pids, valid, hi - lo
 
 
 def _as_batch(patterns, lens):
@@ -134,14 +149,6 @@ def _as_batch(patterns, lens):
 
 
 @jax.jit
-def _count_jit(idx: DeviceFmIndex, patterns, lens):
-    return search_ops.count_batch(
-        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
-        idx.enc_table, patterns, lens,
-    )
-
-
-@jax.jit
 def _ranges_jit(idx: DeviceFmIndex, patterns, lens):
     sym = search_ops.encode_patterns(idx.enc_table, patterns)
     return search_ops.pos_ranges(
@@ -150,7 +157,13 @@ def _ranges_jit(idx: DeviceFmIndex, patterns, lens):
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def _locate_jit(idx: DeviceFmIndex, lo, hi, capacity: int):
-    return locate_ops.locate_rows(
+def _locate_jit(idx: DeviceFmIndex, patterns, lens, capacity: int):
+    """Full pipeline in one program: search + expand + walk."""
+    sym = search_ops.encode_patterns(idx.enc_table, patterns)
+    lo, hi = search_ops.pos_ranges(
+        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+    )
+    locs, pids, valid = locate_ops.locate_rows(
         idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity
     )
+    return locs, pids, valid, lo, hi

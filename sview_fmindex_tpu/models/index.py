@@ -104,7 +104,9 @@ class FmIndex:
             encoder = PassThrough()
             enc_size = 0
         else:
-            raise LoadError(f"unknown encoder kind {encoder_kind!r}")
+            raise LoadError(
+                f"unknown encoder kind {encoder_kind!r}; expected 'table' or 'pass'"
+            )
         off += aligned_size(enc_size, align)
         try:
             ca_header = CountArrayHeader.unpack(buf[off : off + CountArrayHeader.SIZE].tobytes())
