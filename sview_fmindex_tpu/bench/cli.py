@@ -213,6 +213,14 @@ def main(argv=None) -> None:
         p.add_argument("-t", "--treat-t-as-wildcard", action="store_true")
         p.set_defaults(func=fn)
 
+    p = sub.add_parser("scaling", help="pattern-DP scaling-efficiency report")
+    p.add_argument("-t", "--text-length", type=int, default=2_000_000)
+    p.add_argument("-n", "--pattern-count", type=int, default=50_000)
+    def _scaling(a):
+        from .scaling import main as scaling_main
+        scaling_main(a)
+    p.set_defaults(func=_scaling)
+
     args = parser.parse_args(argv)
     args.func(args)
 

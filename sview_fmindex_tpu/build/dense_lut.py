@@ -1,0 +1,94 @@
+"""Dense device-side k-mer seed table ("LUT densification").
+
+The blob's k-mer table (reference ``count_array.rs:111-145``) is built from
+the text with base ``sigma+1`` digits so it can also serve short patterns.
+For the TPU engine we additionally precompute, at upload time, the backward-
+search range of EVERY length-``dk`` symbol string (``dk >= k``): a pattern of
+length >= dk then seeds with ONE table gather covering its last dk symbols,
+cutting the LF-step loop (2 rank gathers per step) roughly in half for the
+benchmark's 20 bp patterns.
+
+This is pure memoization of the search recursion — results are bit-identical
+to seeding with the blob table and LF-stepping (config-invariance semantics,
+``tests/config_invariance``).  Computed HOST-side with vectorized numpy
+(np.bitwise_count) so no extra TPU executable is compiled.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# mask[t] selects the t most-significant bits of a uint32 lane
+_TAKE_MASK = np.array(
+    [0] + [(0xFFFFFFFF << (32 - t)) & 0xFFFFFFFF for t in range(1, 33)],
+    dtype=np.uint32,
+)
+
+
+def rank_next_batch(fm, pos: np.ndarray, symidx: np.ndarray) -> np.ndarray:
+    """Vectorized ``BwmView::get_next_rank`` (bwm/mod.rs:197-215).
+
+    pos int64 [M], symidx int64 [M] -> int64 [M].
+    """
+    L = fm.block.block_len
+    shift = L.bit_length() - 1
+    p = pos + (pos < fm.sentinel_index)
+    q = p >> shift
+    rem = p & (L - 1)
+
+    ckpt = fm.rank_checkpoints[q, symidx].astype(np.int64)
+
+    planes = fm.lanes[q]  # [M, num_planes, num_lanes] uint32 (view ok)
+    bits = (symidx[:, None] >> np.arange(fm.block.num_planes)) & 1
+    sel = np.where(bits[..., None].astype(bool), planes, ~planes)
+    combined = sel[:, 0, :]
+    for j in range(1, fm.block.num_planes):
+        combined = combined & sel[:, j, :]
+
+    lanes32 = np.arange(fm.block.num_lanes, dtype=np.int64) * 32
+    take = np.clip(rem[:, None] - lanes32, 0, 32)
+    cnt = np.bitwise_count(combined & _TAKE_MASK[take]).sum(axis=1, dtype=np.int64)
+    return ckpt + cnt
+
+
+def dense_lut(fm, dk: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) uint32 [sigma**dk] — the backward-search range of every
+    length-``dk`` symbol string, indexed big-endian (first symbol of the
+    string is the most-significant base-sigma digit)."""
+    sigma = fm.symbol_count
+    k = fm.kmer_size
+    if dk < k:
+        raise ValueError(f"dense k {dk} must be >= blob k-mer size {k}")
+    M = sigma**dk
+    idx = np.arange(M, dtype=np.int64)
+    # digit j of the string (j=0 leftmost)
+    digits = [(idx // (sigma ** (dk - 1 - j))) % sigma for j in range(dk)]
+
+    # seed with the blob k-mer table on the LAST k digits
+    # (count_array.rs:203-223, full-length case)
+    tbl_idx = np.zeros(M, dtype=np.int64)
+    for i in range(k):
+        tbl_idx += (digits[dk - k + i] + 1) * (sigma + 1) ** (k - 1 - i)
+    tbl = fm.kmer_count_table
+    lo = tbl[tbl_idx - 1].astype(np.int64)
+    hi = tbl[tbl_idx].astype(np.int64)
+
+    # LF steps for the remaining digits, right to left
+    count_array = fm.count_array.astype(np.int64)
+    for step in range(dk - k):
+        s = digits[dk - k - 1 - step]
+        active = lo < hi
+        pre = count_array[s]
+        nlo = pre + rank_next_batch(fm, lo, s)
+        nhi = pre + rank_next_batch(fm, hi, s)
+        lo = np.where(active, nlo, lo)
+        hi = np.where(active, nhi, hi)
+    return lo.astype(np.uint32), hi.astype(np.uint32)
+
+
+def auto_dense_k(sigma: int, blob_k: int, max_entries: int) -> int:
+    """Largest dk with sigma**dk <= max_entries; 0 disables densification
+    (when it would not beat the blob table)."""
+    dk = 1
+    while sigma ** (dk + 1) <= max_entries:
+        dk += 1
+    return dk if dk > blob_k else 0

@@ -37,17 +37,21 @@ class IndexMeta:
     block_len: int
     num_planes: int
     num_lanes: int
+    dense_k: int = 0  # device-side dense seed-table k (0 = disabled)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["fused", "kmer_tbl", "count_arr", "sa", "sentinel", "enc_table"],
+    data_fields=["fused", "kmer_tbl", "dense_lo", "dense_hi", "count_arr",
+                 "sa", "sentinel", "enc_table"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceFmIndex:
     fused: jax.Array
     kmer_tbl: jax.Array
+    dense_lo: jax.Array
+    dense_hi: jax.Array
     count_arr: jax.Array
     sa: jax.Array
     sentinel: jax.Array
@@ -56,8 +60,15 @@ class DeviceFmIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_host(cls, fm, device=None) -> "DeviceFmIndex":
-        """Upload a host ``FmIndex`` (the blob's zero-copy views) to device."""
+    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
+                  dense_lut_cache: str | None = None) -> "DeviceFmIndex":
+        """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
+
+        ``dense_lut_entries`` bounds the optional dense seed table
+        (``build/dense_lut.py``); None or 0 disables densification.
+        ``dense_lut_cache`` (a .npz path) persists the computed table so
+        repeated loads of the same blob skip the host-side build pass.
+        """
         kind = fm.block
         if fm.text_len >= 2**32:
             raise BuildError("device path currently requires positions < 2^32")
@@ -78,6 +89,25 @@ class DeviceFmIndex:
         else:
             enc_table = np.arange(256, dtype=np.int32)
 
+        from ..build.dense_lut import auto_dense_k, dense_lut
+
+        dk = auto_dense_k(sigma, fm.kmer_size, dense_lut_entries or 0)
+        if dk:
+            d_lo = d_hi = None
+            if dense_lut_cache is not None:
+                try:
+                    with np.load(dense_lut_cache) as z:
+                        if int(z["dk"]) == dk:
+                            d_lo, d_hi = z["lo"], z["hi"]
+                except (OSError, KeyError):
+                    pass
+            if d_lo is None:
+                d_lo, d_hi = dense_lut(fm, dk)
+                if dense_lut_cache is not None:
+                    np.savez(dense_lut_cache, dk=dk, lo=d_lo, hi=d_hi)
+        else:
+            d_lo = d_hi = np.zeros(1, dtype=np.uint32)
+
         put = functools.partial(jax.device_put, device=device)
         meta = IndexMeta(
             sigma=sigma,
@@ -86,10 +116,13 @@ class DeviceFmIndex:
             block_len=kind.block_len,
             num_planes=kind.num_planes,
             num_lanes=kind.num_lanes,
+            dense_k=dk,
         )
         return cls(
             fused=put(fused),
             kmer_tbl=put(fm.kmer_count_table.astype(np.uint32)),
+            dense_lo=put(d_lo),
+            dense_hi=put(d_hi),
             count_arr=put(fm.count_array.astype(np.uint32)),
             sa=put(fm.suffix_array.astype(np.uint32)),
             sentinel=put(np.uint32(fm.sentinel_index)),
@@ -107,13 +140,13 @@ class DeviceFmIndex:
     def count(self, patterns, lens=None) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
         EncodingTable indexes, symbol indices for PassThrough)."""
-        patterns, lens = _as_batch(patterns, lens)
-        lo, hi = _ranges_jit(self, patterns, lens)
+        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        lo, hi = _ranges_jit(self, patterns, lens, steps)
         return hi - lo
 
     def pos_ranges(self, patterns, lens=None):
-        patterns, lens = _as_batch(patterns, lens)
-        return _ranges_jit(self, patterns, lens)
+        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        return _ranges_jit(self, patterns, lens, steps)
 
     def locate(self, patterns, lens=None, capacity: int | None = None):
         """Returns (locations uint32 [capacity], pattern_ids int32, valid bool).
@@ -122,46 +155,52 @@ class DeviceFmIndex:
         the counts (rounded up to a power of two to bound recompiles).
         Passing an explicit capacity keeps the whole query in ONE executable.
         """
-        patterns, lens = _as_batch(patterns, lens)
+        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
         if capacity is None:
-            lo, hi = _ranges_jit(self, patterns, lens)
+            lo, hi = _ranges_jit(self, patterns, lens, steps)
             total = int(jnp.sum(hi - lo))
             capacity = max(1 << max(total - 1, 1).bit_length(), 64)
-        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, capacity)
+        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, steps, capacity)
         return locs, pids, valid
 
     def locate_with_counts(self, patterns, lens=None, capacity: int = 1024):
         """One-executable variant: (locs, pids, valid, counts)."""
-        patterns, lens = _as_batch(patterns, lens)
-        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, capacity)
+        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, steps, capacity)
         return locs, pids, valid, hi - lo
 
 
-def _as_batch(patterns, lens):
+def _as_batch(meta, patterns, lens):
+    if lens is None:
+        np_pat = np.asarray(patterns, dtype=np.uint8)
+        lens_host = np.full(
+            np_pat.shape[0] if np_pat.ndim > 1 else 1, np_pat.shape[-1], np.int32
+        )
+    else:
+        lens_host = np.asarray(lens, dtype=np.int32)
     patterns = jnp.asarray(patterns, dtype=jnp.uint8)
     if patterns.ndim == 1:
         patterns = patterns[None, :]
-    if lens is None:
-        lens = jnp.full(patterns.shape[0], patterns.shape[1], dtype=jnp.int32)
-    else:
-        lens = jnp.asarray(lens, dtype=jnp.int32)
-    return patterns, lens
-
-
-@jax.jit
-def _ranges_jit(idx: DeviceFmIndex, patterns, lens):
-    sym = search_ops.encode_patterns(idx.enc_table, patterns)
-    return search_ops.pos_ranges(
-        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
-    )
+    steps = search_ops.max_steps_needed(meta, lens_host, patterns.shape[1])
+    return patterns, jnp.asarray(lens_host), steps
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def _locate_jit(idx: DeviceFmIndex, patterns, lens, capacity: int):
+def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int):
+    sym = search_ops.encode_patterns(idx.enc_table, patterns)
+    return search_ops.pos_ranges(
+        idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+        idx.count_arr, idx.sentinel, sym, lens, steps,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _locate_jit(idx: DeviceFmIndex, patterns, lens, steps: int, capacity: int):
     """Full pipeline in one program: search + expand + walk."""
     sym = search_ops.encode_patterns(idx.enc_table, patterns)
     lo, hi = search_ops.pos_ranges(
-        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+        idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+        idx.count_arr, idx.sentinel, sym, lens, steps,
     )
     locs, pids, valid = locate_ops.locate_rows(
         idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity

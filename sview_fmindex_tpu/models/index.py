@@ -141,11 +141,15 @@ class FmIndex:
     def blob(self) -> np.ndarray:
         return self._blob
 
-    def to_device(self, device=None):
+    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
+                  dense_lut_cache: str | None = None):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries."""
         from .device_index import DeviceFmIndex
 
-        return DeviceFmIndex.from_host(self, device=device)
+        return DeviceFmIndex.from_host(
+            self, device=device, dense_lut_entries=dense_lut_entries,
+            dense_lut_cache=dense_lut_cache,
+        )
 
     # ------------------------------------------------------------------
     # Query engine (scalar oracle)
@@ -235,6 +239,11 @@ class FmIndex:
         lo, hi = self._pos_range(pattern)
         return self._locations(lo, hi)
 
+    def locate_to_buffer(self, pattern, buffer: list) -> None:
+        """Append locations to a caller buffer (``locate/with_slice.rs:14-18``)."""
+        lo, hi = self._pos_range(pattern)
+        buffer.extend(self._locations(lo, hi))
+
     def _locations(self, lo: int, hi: int) -> list[int]:
         """``write_locations_to_buffer`` (locate/mod.rs:14-37)."""
         out = []
@@ -263,6 +272,12 @@ class FmIndex:
     def locate_rev_iter(self, pattern_rev_iter: Iterable[int]) -> list[int]:
         lo, hi = self._pos_range_rev_iter(iter(pattern_rev_iter))
         return self._locations(lo, hi)
+
+    def locate_rev_iter_to_buffer(self, pattern_rev_iter: Iterable[int],
+                                  buffer: list) -> None:
+        """``locate_rev_iter_to_buffer`` (``locate/with_rev_iter.rs:14-18``)."""
+        lo, hi = self._pos_range_rev_iter(iter(pattern_rev_iter))
+        buffer.extend(self._locations(lo, hi))
 
     def _pos_range_rev_iter(self, it: Iterator[int]) -> tuple[int, int]:
         """``get_initial_pos_range_and_idx_of_pattern_rev_iter``

@@ -37,7 +37,13 @@ def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
 
 
 def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
-    """Resolve BWT rows to text locations.  Returns uint32 [capacity]."""
+    """Resolve BWT rows to text locations.  Returns uint32 [capacity].
+
+    The LF-walk trip count is data-dependent (expected < r, tail ~geometric)
+    so the expected case is UNROLLED (masked steps, done-lanes gather the hot
+    row 0) and only the rare stragglers pay the while_loop's per-iteration
+    overhead.
+    """
     r = meta.sampling_ratio
 
     def needs_step(pos, done):
@@ -50,7 +56,9 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
     def body(carry):
         pos, offset, loc, done = carry
         need = needs_step(pos, done)
-        rank, symidx, is_sent = pre_rank_and_symidx(meta, fused, sentinel, pos)
+        pos_q = jnp.where(need, pos, U32(0))  # masked lanes hit block 0
+        rank, symidx, is_sent = pre_rank_and_symidx(meta, fused, sentinel, pos_q)
+        is_sent = is_sent & need
         hit = need & is_sent
         loc = jnp.where(hit, offset, loc)
         done = done | hit

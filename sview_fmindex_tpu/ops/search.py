@@ -1,16 +1,29 @@
 """Batched lockstep backward search (count).
 
 The reference's per-pattern recursion (``locate/with_slice.rs:21-33``) becomes
-one jitted program over a [B, Lmax] pattern batch: the k-mer LUT seeds every
+one jitted program over a [B, Lmax] pattern batch: a k-mer table seeds every
 lane's range in O(1) (``count_array.rs:203-223``, incl. the short-pattern
 subtree range), then a ``fori_loop`` advances all lanes one LF step per
 iteration with done-masks.  Both range endpoints of all lanes are ranked in a
 single fused-table gather per step.
+
+Two seed tables exist:
+
+- the blob's base-``sigma+1`` k-mer table (reference semantics, also serves
+  patterns shorter than k via the subtree range), and
+- an optional DENSE device table over all ``sigma**dense_k`` symbol strings
+  (``build/dense_lut.py``) which seeds the last ``dense_k`` symbols of any
+  pattern of length >= dense_k in one gather — memoized backward search,
+  bit-identical results, roughly half the LF steps for 20 bp queries.
+
+The LF-loop trip count ``steps`` is a static argument so an all-20bp batch
+with dense_k=10 compiles a 10-iteration loop, not Lmax-k.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rank import U32, rank_next
 
@@ -20,8 +33,8 @@ def encode_patterns(enc_table: jax.Array, patterns: jax.Array) -> jax.Array:
     return jnp.take(enc_table, patterns.astype(jnp.int32), axis=0).astype(jnp.int32)
 
 
-def initial_range(meta, kmer_tbl: jax.Array, sym: jax.Array, lens: jax.Array):
-    """k-mer LUT seeding.  sym int32 [B, L], lens int32 [B].
+def blob_initial_range(meta, kmer_tbl: jax.Array, sym: jax.Array, lens: jax.Array):
+    """Blob k-mer LUT seeding.  sym int32 [B, L], lens int32 [B].
 
     Returns (lo, hi) uint32 [B] and rem_steps int32 [B] (LF steps left).
     """
@@ -44,34 +57,89 @@ def initial_range(meta, kmer_tbl: jax.Array, sym: jax.Array, lens: jax.Array):
     return lo, hi, rem_steps
 
 
-def pos_ranges(meta, fused, kmer_tbl, count_arr, sentinel, sym, lens):
-    """Full backward search: (lo, hi) uint32 [B] for every pattern lane."""
-    lo, hi, rem_steps = initial_range(meta, kmer_tbl, sym, lens)
+def initial_range(meta, kmer_tbl, dense_lo, dense_hi, sym, lens):
+    """Seed every lane: dense table when len >= dense_k, blob table else.
+
+    Returns (lo, hi) uint32 [B], rem_steps int32 [B], seed_len int32 [B].
+    """
+    lo, hi, rem = blob_initial_range(meta, kmer_tbl, sym, lens)
+    seed_len = jnp.full_like(lens, meta.kmer_size)
+    if meta.dense_k:
+        dk = meta.dense_k
+        Lmax = sym.shape[-1]
+        idx = jnp.zeros(sym.shape[:-1], dtype=jnp.int32)
+        for i in range(dk):
+            j = jnp.clip(lens - dk + i, 0, max(Lmax - 1, 0))
+            digit = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+            idx = idx * meta.sigma + digit
+        use = lens >= dk
+        idx = jnp.where(use, idx, 0)
+        lo = jnp.where(use, jnp.take(dense_lo, idx), lo)
+        hi = jnp.where(use, jnp.take(dense_hi, idx), hi)
+        rem = jnp.where(use, lens - dk, rem)
+        seed_len = jnp.where(use, dk, seed_len)
+    return lo, hi, rem, seed_len
+
+
+def max_steps_needed(meta, lens, Lmax: int) -> int:
+    """Host-side static trip count for the LF loop (rounded up to 4 to
+    bound executable proliferation)."""
+    lens = np.asarray(lens)
+    if lens.size == 0:
+        return 0
+    if meta.dense_k:
+        per = np.where(
+            lens >= meta.dense_k,
+            lens - meta.dense_k,
+            np.maximum(lens - meta.kmer_size, 0),
+        )
+    else:
+        per = np.maximum(lens - meta.kmer_size, 0)
+    s = int(per.max())
+    cap = max(Lmax - meta.kmer_size, 0)
+    return min(-(-s // 4) * 4, cap)
+
+
+def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
+               sym, lens, steps: int):
+    """Full backward search: (lo, hi) uint32 [B] for every pattern lane.
+
+    ``steps`` must be >= every lane's rem_steps (see max_steps_needed).
+    """
+    lo, hi, rem_steps, seed_len = initial_range(
+        meta, kmer_tbl, dense_lo, dense_hi, sym, lens
+    )
     Lmax = sym.shape[-1]
-    steps = max(Lmax - meta.kmer_size, 0)
     if steps == 0:
         return lo, hi
 
     def body(t, carry):
         lo, hi = carry
         active = (t < rem_steps) & (lo < hi)
-        j = jnp.clip(lens - meta.kmer_size - 1 - t, 0, Lmax - 1)
+        j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
         s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
         pre = jnp.take(count_arr, s)
-        # one fused gather for both endpoints of every lane
-        both = jnp.concatenate([lo, hi])
-        ranks = rank_next(meta, fused, sentinel, both, jnp.concatenate([s, s]))
-        b = lo.shape[0]
-        nlo = pre + ranks[:b]
-        nhi = pre + ranks[b:]
+        # inactive lanes gather block 0 (hot row) instead of a random one
+        ends = jnp.stack([lo, hi])  # [2, B]
+        ends_q = jnp.where(active[None, :], ends, U32(0))
+        s2 = jnp.broadcast_to(s, ends.shape)
+        ranks = rank_next(meta, fused, sentinel, ends_q, s2)
+        nlo = pre + ranks[0]
+        nhi = pre + ranks[1]
         return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
 
+    # NB: unrolling this loop was measured WORSE on TPU (bigger program,
+    # 30x slower compile, ~1.5x slower steady state) — keep the fori_loop.
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo, hi
 
 
-def count_batch(meta, fused, kmer_tbl, count_arr, sentinel, enc_table, patterns, lens):
+def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
+                enc_table, patterns, lens, steps: int):
     """counts uint32 [B] for raw byte patterns [B, Lmax] with lengths [B]."""
     sym = encode_patterns(enc_table, patterns)
-    lo, hi = pos_ranges(meta, fused, kmer_tbl, count_arr, sentinel, sym, lens.astype(jnp.int32))
+    lo, hi = pos_ranges(
+        meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
+        sym, lens.astype(jnp.int32), steps,
+    )
     return hi - lo

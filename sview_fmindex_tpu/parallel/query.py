@@ -56,14 +56,25 @@ class ShardedFmIndex:
             lens = np.concatenate([lens, np.ones(pad, np.int32)])
         return patterns, lens, b
 
+    def _steps(self, patterns, lens) -> int:
+        from ..ops.search import max_steps_needed
+
+        return max_steps_needed(self.index.meta, lens, patterns.shape[1])
+
     def count(self, patterns, lens):
         patterns, lens, b = self._pad(patterns, lens)
-        counts = _count_sharded(self.index, patterns, lens, self.mesh, self.axis)
+        counts = _count_sharded(
+            self.index, patterns, lens, self.mesh, self.axis,
+            self._steps(patterns, lens),
+        )
         return counts[:b]
 
     def pos_ranges(self, patterns, lens):
         patterns, lens, b = self._pad(patterns, lens)
-        lo, hi = _ranges_sharded(self.index, patterns, lens, self.mesh, self.axis)
+        lo, hi = _ranges_sharded(
+            self.index, patterns, lens, self.mesh, self.axis,
+            self._steps(patterns, lens),
+        )
         return lo[:b], hi[:b]
 
     def locate(self, patterns, lens, capacity_per_shard: int | None = None):
@@ -71,24 +82,25 @@ class ShardedFmIndex:
         pattern_ids are GLOBAL batch indices (padding lanes excluded via
         valid)."""
         patterns, lens, b = self._pad(patterns, lens)
+        steps = self._steps(patterns, lens)
         if capacity_per_shard is None:
             counts = np.array(
-                _count_sharded(self.index, patterns, lens, self.mesh, self.axis)
+                _count_sharded(self.index, patterns, lens, self.mesh, self.axis, steps)
             )
             counts[b:] = 0  # padding lanes contribute nothing
             per_shard = patterns.shape[0] // self.n_devices
             worst = int(counts.reshape(self.n_devices, per_shard).sum(axis=1).max())
             capacity_per_shard = max(1 << max(worst - 1, 1).bit_length(), 64)
         locs, pids, valid = _locate_sharded(
-            self.index, patterns, lens, self.mesh, self.axis, capacity_per_shard
+            self.index, patterns, lens, self.mesh, self.axis, capacity_per_shard, steps
         )
         valid = np.asarray(valid) & (np.asarray(pids) < b)
         return np.asarray(locs), np.asarray(pids), valid
 
 
 # ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _count_sharded(idx, patterns, lens, mesh, axis):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _count_sharded(idx, patterns, lens, mesh, axis, steps):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -97,15 +109,15 @@ def _count_sharded(idx, patterns, lens, mesh, axis):
     )
     def run(idx, patterns, lens):
         return search_ops.count_batch(
-            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
-            idx.enc_table, patterns, lens,
+            idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+            idx.count_arr, idx.sentinel, idx.enc_table, patterns, lens, steps,
         )
 
     return run(idx, patterns, lens)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _ranges_sharded(idx, patterns, lens, mesh, axis):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _ranges_sharded(idx, patterns, lens, mesh, axis, steps):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -115,14 +127,15 @@ def _ranges_sharded(idx, patterns, lens, mesh, axis):
     def run(idx, patterns, lens):
         sym = search_ops.encode_patterns(idx.enc_table, patterns)
         return search_ops.pos_ranges(
-            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+            idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+            idx.count_arr, idx.sentinel, sym, lens, steps,
         )
 
     return run(idx, patterns, lens)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _locate_sharded(idx, patterns, lens, mesh, axis, capacity_per_shard):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _locate_sharded(idx, patterns, lens, mesh, axis, capacity_per_shard, steps):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -132,7 +145,8 @@ def _locate_sharded(idx, patterns, lens, mesh, axis, capacity_per_shard):
     def run(idx, patterns, lens):
         sym = search_ops.encode_patterns(idx.enc_table, patterns)
         lo, hi = search_ops.pos_ranges(
-            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel, sym, lens
+            idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+            idx.count_arr, idx.sentinel, sym, lens, steps,
         )
         locs, pids, valid = locate_ops.locate_rows(
             idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,

@@ -115,3 +115,61 @@ def test_device_passthrough_encoder():
         ps = enc.encode(np.frombuffer(p, np.uint8))
         batch, lens = pack_patterns([ps])
         assert int(np.asarray(dev.count(batch, lens))[0]) == fm.count(ps)
+
+
+def test_protein_alphabet_mixed_lengths():
+    """BASELINE config 4: 20-symbol amino-acid alphabet (Block5<u64>),
+    mixed-length 10-30 aa patterns, device == host, incl. dense-LUT seeding."""
+    rng = random.Random(99)
+    aa = b"ACDEFGHIKLMNPQRSTVWY"
+    symbols = [bytes([c]) for c in aa]
+    text = bytes(rng.choice(aa) for _ in range(4000))
+    fm = _build(text, symbols, BlockKind(5, 64), 2, 2)
+    dev = fm.to_device()
+    assert dev.meta.dense_k >= 2  # densification active for sigma=20
+
+    patterns = []
+    for _ in range(50):
+        plen = rng.randint(10, 30)
+        s = rng.randint(0, len(text) - plen)
+        patterns.append(text[s:s + plen])
+    patterns.append(b"WWWWWWWWWWWW")  # likely absent
+    batch, lens = pack_patterns(patterns)
+
+    counts = np.asarray(dev.count(batch, lens))
+    for i, p in enumerate(patterns):
+        assert counts[i] == fm.count(p), (i, p)
+
+    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    got = {}
+    for l, pid, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(pid), []).append(int(l))
+    for i, p in enumerate(patterns):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
+
+
+def test_dense_lut_toggle_invariance():
+    """Dense seeding is pure memoization: identical results with it on/off."""
+    rng = random.Random(5)
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    text = gen_rand_text(rng, symbols, 2000, 3000)
+    fm = _build(text, symbols, BlockKind(2, 64), 2, 3)
+    dev_on = fm.to_device()
+    dev_off = fm.to_device(dense_lut_entries=None)
+    assert dev_on.meta.dense_k > 0 and dev_off.meta.dense_k == 0
+
+    patterns = [gen_rand_pattern(rng, text, 1, 25) for _ in range(60)]
+    batch, lens = pack_patterns(patterns)
+    c_on = np.asarray(dev_on.count(batch, lens))
+    c_off = np.asarray(dev_off.count(batch, lens))
+    assert (c_on == c_off).all()
+
+    def collect(dev):
+        locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+        out = {}
+        for l, p, v in zip(locs, pids, valid):
+            if v:
+                out.setdefault(int(p), []).append(int(l))
+        return {k: sorted(v) for k, v in out.items()}
+    assert collect(dev_on) == collect(dev_off)
