@@ -38,12 +38,14 @@ class IndexMeta:
     num_planes: int
     num_lanes: int
     dense_k: int = 0  # device-side dense seed-table k (0 = disabled)
+    stream_rows: int = 0  # stream-join table rows (0 = streaming disabled)
+    stream_tile: int = 8192  # stream-join tile blocks (measured optimum)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["fused", "kmer_tbl", "dense_lo", "dense_hi", "count_arr",
-                 "sa", "sentinel", "enc_table"],
+                 "sa", "sentinel", "enc_table", "stream_tbl"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -56,18 +58,22 @@ class DeviceFmIndex:
     sa: jax.Array
     sentinel: jax.Array
     enc_table: jax.Array
+    stream_tbl: jax.Array
     meta: IndexMeta
 
     # ------------------------------------------------------------------
     @classmethod
     def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
-                  dense_lut_cache: str | None = None) -> "DeviceFmIndex":
+                  dense_lut_cache: str | None = None,
+                  stream: bool = True) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
         ``dense_lut_entries`` bounds the optional dense seed table
         (``build/dense_lut.py``); None or 0 disables densification.
         ``dense_lut_cache`` (a .npz path) persists the computed table so
         repeated loads of the same blob skip the host-side build pass.
+        ``stream`` also uploads the sort-join stream table
+        (``ops.stream_join``) used for large query batches.
         """
         kind = fm.block
         if fm.text_len >= 2**32:
@@ -108,6 +114,17 @@ class DeviceFmIndex:
         else:
             d_lo = d_hi = np.zeros(1, dtype=np.uint32)
 
+        from ..ops import stream_join
+
+        stream_tile = IndexMeta.stream_tile
+        if stream and sigma <= 63:
+            bwt = stream_join.bwt_from_planes(
+                np.ascontiguousarray(fm.lanes), kind.num_planes, fm.text_len)
+            s_tbl = stream_join.build_stream_table(sigma, bwt, stream_tile)
+            del bwt
+        else:
+            s_tbl = np.zeros((stream_join._rw(sigma), stream_tile), np.int32)
+
         put = functools.partial(jax.device_put, device=device)
         meta = IndexMeta(
             sigma=sigma,
@@ -117,6 +134,8 @@ class DeviceFmIndex:
             num_planes=kind.num_planes,
             num_lanes=kind.num_lanes,
             dense_k=dk,
+            stream_rows=s_tbl.shape[0] if (stream and sigma <= 63) else 0,
+            stream_tile=stream_tile,
         )
         return cls(
             fused=put(fused),
@@ -127,6 +146,7 @@ class DeviceFmIndex:
             sa=put(fm.suffix_array.astype(np.uint32)),
             sentinel=put(np.uint32(fm.sentinel_index)),
             enc_table=put(enc_table),
+            stream_tbl=put(s_tbl),
             meta=meta,
         )
 
@@ -137,18 +157,32 @@ class DeviceFmIndex:
     # (backward search -> [lo, hi), counts = hi - lo) and _locate_jit
     # (the full pattern -> locations pipeline in one program).
 
-    def count(self, patterns, lens=None) -> jax.Array:
+    # streaming sort-join engages above this batch size (per-step query
+    # count = 2B; below it the fixed sort+stream cost beats nothing)
+    STREAM_MIN_BATCH = 8192
+
+    def _stream(self, B: int, use_stream: bool | None) -> bool:
+        if self.meta.stream_rows == 0 or B >= 1 << 25:
+            return False
+        if use_stream is None:
+            return B >= self.STREAM_MIN_BATCH
+        return use_stream
+
+    def count(self, patterns, lens=None, use_stream: bool | None = None) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
         EncodingTable indexes, symbol indices for PassThrough)."""
         patterns, lens, steps = _as_batch(self.meta, patterns, lens)
-        lo, hi = _ranges_jit(self, patterns, lens, steps)
+        lo, hi = _ranges_jit(self, patterns, lens, steps,
+                             self._stream(patterns.shape[0], use_stream))
         return hi - lo
 
-    def pos_ranges(self, patterns, lens=None):
+    def pos_ranges(self, patterns, lens=None, use_stream: bool | None = None):
         patterns, lens, steps = _as_batch(self.meta, patterns, lens)
-        return _ranges_jit(self, patterns, lens, steps)
+        return _ranges_jit(self, patterns, lens, steps,
+                           self._stream(patterns.shape[0], use_stream))
 
-    def locate(self, patterns, lens=None, capacity: int | None = None):
+    def locate(self, patterns, lens=None, capacity: int | None = None,
+               use_stream: bool | None = None):
         """Returns (locations uint32 [capacity], pattern_ids int32, valid bool).
 
         ``capacity`` is the static output budget; when None it is sized from
@@ -156,17 +190,22 @@ class DeviceFmIndex:
         Passing an explicit capacity keeps the whole query in ONE executable.
         """
         patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        stream = self._stream(patterns.shape[0], use_stream)
         if capacity is None:
-            lo, hi = _ranges_jit(self, patterns, lens, steps)
+            lo, hi = _ranges_jit(self, patterns, lens, steps, stream)
             total = int(jnp.sum(hi - lo))
             capacity = max(1 << max(total - 1, 1).bit_length(), 64)
-        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, steps, capacity)
+        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, steps,
+                                              capacity, stream)
         return locs, pids, valid
 
-    def locate_with_counts(self, patterns, lens=None, capacity: int = 1024):
+    def locate_with_counts(self, patterns, lens=None, capacity: int = 1024,
+                           use_stream: bool | None = None):
         """One-executable variant: (locs, pids, valid, counts)."""
         patterns, lens, steps = _as_batch(self.meta, patterns, lens)
-        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, steps, capacity)
+        stream = self._stream(patterns.shape[0], use_stream)
+        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, steps,
+                                                capacity, stream)
         return locs, pids, valid, hi - lo
 
 
@@ -185,24 +224,29 @@ def _as_batch(meta, patterns, lens):
     return patterns, jnp.asarray(lens_host), steps
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
+                use_stream: bool = False):
     sym = search_ops.encode_patterns(idx.enc_table, patterns)
     return search_ops.pos_ranges(
         idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
         idx.count_arr, idx.sentinel, sym, lens, steps,
+        stream_tbl=idx.stream_tbl, use_stream=use_stream,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _locate_jit(idx: DeviceFmIndex, patterns, lens, steps: int, capacity: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _locate_jit(idx: DeviceFmIndex, patterns, lens, steps: int, capacity: int,
+                use_stream: bool = False):
     """Full pipeline in one program: search + expand + walk."""
     sym = search_ops.encode_patterns(idx.enc_table, patterns)
     lo, hi = search_ops.pos_ranges(
         idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
         idx.count_arr, idx.sentinel, sym, lens, steps,
+        stream_tbl=idx.stream_tbl, use_stream=use_stream,
     )
     locs, pids, valid = locate_ops.locate_rows(
-        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity
+        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity,
+        stream_tbl=idx.stream_tbl, use_stream=use_stream,
     )
     return locs, pids, valid, lo, hi

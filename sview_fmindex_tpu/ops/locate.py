@@ -36,13 +36,15 @@ def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
     return jnp.where(valid, rows, U32(0)), pat_c, valid
 
 
-def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
+def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
+              stream_tbl=None, use_stream: bool = False):
     """Resolve BWT rows to text locations.  Returns uint32 [capacity].
 
     The LF-walk trip count is data-dependent (expected < r, tail ~geometric)
     so the expected case is UNROLLED (masked steps, done-lanes gather the hot
     row 0) and only the rare stragglers pay the while_loop's per-iteration
-    overhead.
+    overhead.  ``use_stream`` routes the per-step (rank, symbol) decode
+    through the streaming sort-join kernel (``ops.stream_join``).
     """
     r = meta.sampling_ratio
 
@@ -57,13 +59,22 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
         pos, offset, loc, done = carry
         need = needs_step(pos, done)
         pos_q = jnp.where(need, pos, U32(0))  # masked lanes hit block 0
-        rank, symidx, is_sent = pre_rank_and_symidx(meta, fused, sentinel, pos_q)
+        if use_stream:
+            from . import stream_join
+            from .search import take_small
+
+            rank, symidx, is_sent = stream_join.pre_rank_and_symidx_sorted(
+                meta, stream_tbl, sentinel, pos_q, T=meta.stream_tile)
+            pre = take_small(count_arr, symidx, meta.sigma + 1)
+        else:
+            rank, symidx, is_sent = pre_rank_and_symidx(meta, fused, sentinel, pos_q)
+            pre = jnp.take(count_arr, symidx)
         is_sent = is_sent & need
         hit = need & is_sent
         loc = jnp.where(hit, offset, loc)
         done = done | hit
         step = need & ~is_sent
-        npos = jnp.take(count_arr, symidx) + rank
+        npos = pre + rank
         pos = jnp.where(step, npos, pos)
         offset = jnp.where(step, offset + 1, offset)
         return pos, offset, loc, done
@@ -80,7 +91,9 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid):
     return jnp.where(done, loc, sampled + offset)
 
 
-def locate_rows(meta, fused, count_arr, sa, sentinel, lo, hi, capacity: int):
+def locate_rows(meta, fused, count_arr, sa, sentinel, lo, hi, capacity: int,
+                stream_tbl=None, use_stream: bool = False):
     rows, pat_ids, valid = expand_ranges(lo, hi, capacity)
-    locs = walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid)
+    locs = walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
+                     stream_tbl=stream_tbl, use_stream=use_stream)
     return locs, pat_ids, valid

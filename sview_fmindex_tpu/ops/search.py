@@ -100,11 +100,22 @@ def max_steps_needed(meta, lens, Lmax: int) -> int:
     return min(-(-s // 4) * 4, cap)
 
 
+def take_small(table: jax.Array, idx: jax.Array, size: int) -> jax.Array:
+    """Gather-free lookup in a tiny table (unrolled compare-select; XLA's
+    gather costs ~13-21 ns/element on TPU even for a sigma+1-entry table)."""
+    out = jnp.zeros_like(idx, dtype=table.dtype) + table[0] * (idx == 0)
+    for s in range(1, size):
+        out = jnp.where(idx == s, table[s], out)
+    return out
+
+
 def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
-               sym, lens, steps: int):
+               sym, lens, steps: int, stream_tbl=None, use_stream: bool = False):
     """Full backward search: (lo, hi) uint32 [B] for every pattern lane.
 
     ``steps`` must be >= every lane's rem_steps (see max_steps_needed).
+    ``use_stream`` routes the per-step rank queries through the streaming
+    sort-join kernel (``ops.stream_join``) instead of XLA row gathers.
     """
     lo, hi, rem_steps, seed_len = initial_range(
         meta, kmer_tbl, dense_lo, dense_hi, sym, lens
@@ -112,20 +123,33 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
     Lmax = sym.shape[-1]
     if steps == 0:
         return lo, hi
+    B = lo.shape[0]
 
     def body(t, carry):
         lo, hi = carry
         active = (t < rem_steps) & (lo < hi)
         j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
         s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
-        pre = jnp.take(count_arr, s)
         # inactive lanes gather block 0 (hot row) instead of a random one
         ends = jnp.stack([lo, hi])  # [2, B]
         ends_q = jnp.where(active[None, :], ends, U32(0))
-        s2 = jnp.broadcast_to(s, ends.shape)
-        ranks = rank_next(meta, fused, sentinel, ends_q, s2)
-        nlo = pre + ranks[0]
-        nhi = pre + ranks[1]
+        if use_stream:
+            from . import stream_join
+
+            pre = take_small(count_arr, s, meta.sigma + 1)
+            s2 = jnp.concatenate([s, s])
+            ranks = stream_join.rank_next_sorted(
+                meta, stream_tbl, sentinel, ends_q.reshape(2 * B), s2,
+                T=meta.stream_tile,
+            )
+            nlo = pre + ranks[:B]
+            nhi = pre + ranks[B:]
+        else:
+            pre = jnp.take(count_arr, s)
+            s2 = jnp.broadcast_to(s, ends.shape)
+            ranks = rank_next(meta, fused, sentinel, ends_q, s2)
+            nlo = pre + ranks[0]
+            nhi = pre + ranks[1]
         return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
 
     # NB: unrolling this loop was measured WORSE on TPU (bigger program,
@@ -135,11 +159,13 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
 
 
 def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
-                enc_table, patterns, lens, steps: int):
+                enc_table, patterns, lens, steps: int,
+                stream_tbl=None, use_stream: bool = False):
     """counts uint32 [B] for raw byte patterns [B, Lmax] with lengths [B]."""
     sym = encode_patterns(enc_table, patterns)
     lo, hi = pos_ranges(
         meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
         sym, lens.astype(jnp.int32), steps,
+        stream_tbl=stream_tbl, use_stream=use_stream,
     )
     return hi - lo

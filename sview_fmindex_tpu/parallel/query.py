@@ -61,11 +61,11 @@ class ShardedFmIndex:
 
         return max_steps_needed(self.index.meta, lens, patterns.shape[1])
 
-    def count(self, patterns, lens):
+    def count(self, patterns, lens, use_stream: bool = False):
         patterns, lens, b = self._pad(patterns, lens)
         counts = _count_sharded(
             self.index, patterns, lens, self.mesh, self.axis,
-            self._steps(patterns, lens),
+            self._steps(patterns, lens), use_stream,
         )
         return counts[:b]
 
@@ -99,8 +99,8 @@ class ShardedFmIndex:
 
 
 # ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _count_sharded(idx, patterns, lens, mesh, axis, steps):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -111,6 +111,7 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps):
         return search_ops.count_batch(
             idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
             idx.count_arr, idx.sentinel, idx.enc_table, patterns, lens, steps,
+            stream_tbl=idx.stream_tbl, use_stream=use_stream,
         )
 
     return run(idx, patterns, lens)
