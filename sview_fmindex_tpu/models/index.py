@@ -88,7 +88,11 @@ class FmIndex:
         the caller must know P/B/E, exactly like the reference's type params."""
         buf = blob if isinstance(blob, np.ndarray) else np.frombuffer(blob, dtype=np.uint8)
         align = block.align_size
-        if len(buf) < 8 or bytes(buf[:4].tobytes()) != MAGIC[:4]:
+        # MagicNumber::is_valid (bytes 0-1 == b"FI") + is_supported_version
+        # (bytes 2-3 == major/minor b"00"); both gate the load exactly like
+        # the reference (magic_number.rs:38-47, load_from_blob.rs:30-33).
+        magic = bytes(buf[:8].tobytes()) if len(buf) >= 8 else b""
+        if len(magic) < 8 or magic[:2] != MAGIC[:2] or magic[2:4] != MAGIC[2:4]:
             raise LoadError(
                 "Invalid FM-index format. The data does not appear to be a valid FM-index blob."
             )

@@ -61,38 +61,55 @@ class ShardedFmIndex:
 
         return max_steps_needed(self.index.meta, lens, patterns.shape[1])
 
-    def count(self, patterns, lens, use_stream: bool = False):
+    def _stream(self, B: int, use_stream: bool | None) -> bool:
+        per_shard = B // self.n_devices
+        if use_stream is None:
+            return self.index._stream(per_shard, None)
+        return use_stream and self.index.meta.stream_rows > 0
+
+    def count(self, patterns, lens, use_stream: bool | None = None):
         patterns, lens, b = self._pad(patterns, lens)
         counts = _count_sharded(
             self.index, patterns, lens, self.mesh, self.axis,
-            self._steps(patterns, lens), use_stream,
+            self._steps(patterns, lens),
+            self._stream(patterns.shape[0], use_stream),
         )
         return counts[:b]
 
-    def pos_ranges(self, patterns, lens):
+    def pos_ranges(self, patterns, lens, use_stream: bool | None = None):
         patterns, lens, b = self._pad(patterns, lens)
         lo, hi = _ranges_sharded(
             self.index, patterns, lens, self.mesh, self.axis,
             self._steps(patterns, lens),
+            self._stream(patterns.shape[0], use_stream),
         )
         return lo[:b], hi[:b]
 
-    def locate(self, patterns, lens, capacity_per_shard: int | None = None):
+    def locate(self, patterns, lens, capacity_per_shard: int | None = None,
+               use_stream: bool | None = None):
         """Returns (locations, pattern_ids, valid) concatenated over shards;
         pattern_ids are GLOBAL batch indices (padding lanes excluded via
-        valid)."""
+        valid).
+
+        The backward search runs ONCE (``_ranges_sharded``); when
+        ``capacity_per_shard`` is None the shard capacity is sized from the
+        resulting counts and only the expand+walk phase runs as the second
+        executable — the search is never duplicated.
+        """
         patterns, lens, b = self._pad(patterns, lens)
         steps = self._steps(patterns, lens)
+        stream = self._stream(patterns.shape[0], use_stream)
+        lo, hi = _ranges_sharded(
+            self.index, patterns, lens, self.mesh, self.axis, steps, stream
+        )
         if capacity_per_shard is None:
-            counts = np.array(
-                _count_sharded(self.index, patterns, lens, self.mesh, self.axis, steps)
-            )
+            counts = np.asarray(hi) - np.asarray(lo)
             counts[b:] = 0  # padding lanes contribute nothing
             per_shard = patterns.shape[0] // self.n_devices
             worst = int(counts.reshape(self.n_devices, per_shard).sum(axis=1).max())
             capacity_per_shard = max(1 << max(worst - 1, 1).bit_length(), 64)
-        locs, pids, valid = _locate_sharded(
-            self.index, patterns, lens, self.mesh, self.axis, capacity_per_shard, steps
+        locs, pids, valid = _walk_sharded(
+            self.index, lo, hi, self.mesh, self.axis, capacity_per_shard, stream
         )
         valid = np.asarray(valid) & (np.asarray(pids) < b)
         return np.asarray(locs), np.asarray(pids), valid
@@ -104,6 +121,7 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
     @functools.partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs lack vma; these are pure maps
         in_specs=(P(), P(axis, None), P(axis)),
         out_specs=P(axis),
     )
@@ -117,11 +135,12 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
     return run(idx, patterns, lens)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _ranges_sharded(idx, patterns, lens, mesh, axis, steps):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
     @functools.partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs lack vma; these are pure maps
         in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(axis), P(axis)),
     )
@@ -130,32 +149,32 @@ def _ranges_sharded(idx, patterns, lens, mesh, axis, steps):
         return search_ops.pos_ranges(
             idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
             idx.count_arr, idx.sentinel, sym, lens, steps,
+            stream_tbl=idx.stream_tbl, use_stream=use_stream,
         )
 
     return run(idx, patterns, lens)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _locate_sharded(idx, patterns, lens, mesh, axis, capacity_per_shard, steps):
+def _walk_sharded(idx, lo, hi, mesh, axis, capacity_per_shard, use_stream=False):
+    """Expand the (already computed) shard-local ranges and walk them."""
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
+        check_vma=False,  # pallas_call outputs lack vma; these are pure maps
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
     )
-    def run(idx, patterns, lens):
-        sym = search_ops.encode_patterns(idx.enc_table, patterns)
-        lo, hi = search_ops.pos_ranges(
-            idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
-            idx.count_arr, idx.sentinel, sym, lens, steps,
-        )
+    def run(idx, lo, hi):
         locs, pids, valid = locate_ops.locate_rows(
             idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
             lo, hi, capacity_per_shard,
+            stream_tbl=idx.stream_tbl, use_stream=use_stream,
         )
         # lift local pattern ids to global batch indices
         shard = jax.lax.axis_index(axis).astype(jnp.int32)
-        pids = pids + shard * patterns.shape[0]
+        pids = pids + shard * lo.shape[0]
         return locs, pids, valid
 
-    return run(idx, patterns, lens)
+    return run(idx, lo, hi)
