@@ -17,9 +17,17 @@ from .suffix_array import suffix_array
 
 
 def bwt_and_sampled_sa(
-    enc_plus1: np.ndarray, sampling_ratio: int, sa_backend: str | None = None
+    enc_plus1: np.ndarray, sampling_ratio: int, sa_backend: str | None = None,
+    sa_full_path: str | None = None,
 ) -> tuple[np.ndarray, int, np.ndarray]:
-    """Returns (bwt_without_sentinel uint8, pidx, sampled_sa int64)."""
+    """Returns (bwt_without_sentinel uint8, pidx, sampled_sa int64).
+
+    ``sa_full_path``: optionally persist the FULL (unsampled, sentinel-row-
+    dropped) suffix array as little-endian uint32 — the device engine can use
+    it as a derived r=1 locate cache (``models/device_index.py``), the same
+    way the dense k-mer LUT memoizes the search seed.  It is free here: the
+    full SA exists before sampling anyway.
+    """
     n = len(enc_plus1)
     with_sentinel = np.empty(n + 1, dtype=np.uint8)
     with_sentinel[:n] = enc_plus1
@@ -31,5 +39,7 @@ def bwt_and_sampled_sa(
     pidx_rows = np.nonzero(bwt == 0)[0]
     pidx = int(pidx_rows[0])
     bwt_wo = np.delete(bwt, pidx)
+    if sa_full_path is not None:
+        sa[1:].astype("<u4", copy=False).tofile(sa_full_path)
     sampled_sa = sa[1:][::sampling_ratio].astype(np.int64, copy=False)
     return bwt_wo, pidx, sampled_sa

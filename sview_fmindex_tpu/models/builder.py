@@ -86,8 +86,13 @@ class FmIndexBuilder:
     def blob_size(self) -> int:
         return self.layout().blob_size
 
-    def build(self, text, blob: bytearray | memoryview | np.ndarray | None = None) -> bytes | bytearray | np.ndarray:
-        """Build the index; returns the blob (new bytes if ``blob`` is None)."""
+    def build(self, text, blob: bytearray | memoryview | np.ndarray | None = None,
+              sa_full_path: str | None = None) -> bytes | bytearray | np.ndarray:
+        """Build the index; returns the blob (new bytes if ``blob`` is None).
+
+        ``sa_full_path``: optionally persist the full (r=1) suffix array as
+        uint32 — a derived device-side locate cache (see ``build/bwt.py``).
+        """
         lay = self.layout()
         text_u8 = np.frombuffer(text, dtype=np.uint8) if not isinstance(text, np.ndarray) else text.astype(np.uint8, copy=False)
         if len(text_u8) != self.text_len:
@@ -131,7 +136,7 @@ class FmIndexBuilder:
 
         # 3) suffix array body + BWT (suffix_array/mod.rs:57-70)
         bwt_plus1, pidx, sampled_sa = bwt_build.bwt_and_sampled_sa(
-            enc_plus1, ratio, sa_backend=self.sa_backend
+            enc_plus1, ratio, sa_backend=self.sa_backend, sa_full_path=sa_full_path
         )
         del enc_plus1
         _write(out, lay.sa_body_off, sampled_sa.astype(pdt))

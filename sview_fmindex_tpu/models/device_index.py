@@ -40,6 +40,12 @@ class IndexMeta:
     dense_k: int = 0  # device-side dense seed-table k (0 = disabled)
     stream_rows: int = 0  # stream-join table rows (0 = streaming disabled)
     stream_tile: int = 8192  # stream-join tile blocks (measured optimum)
+    # static encoder content (compare-select encode instead of a 256-entry
+    # gather, which is latency-bound at ~18 ns/byte on TPU):
+    enc_identity: bool = False  # PassThrough: bytes ARE symbol indices
+    enc_pairs: tuple = ()  # ((byte, sym), ...) for bytes != enc_default
+    enc_default: int = 0  # what every other byte maps to (the wildcard)
+    has_sa_full: bool = False  # full (r=1) SA resident on device
 
 
 @functools.partial(
@@ -65,7 +71,8 @@ class DeviceFmIndex:
     @classmethod
     def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
                   dense_lut_cache: str | None = None,
-                  stream: bool = True) -> "DeviceFmIndex":
+                  stream: bool = True,
+                  sa_full: "np.ndarray | str | None" = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
         ``dense_lut_entries`` bounds the optional dense seed table
@@ -74,12 +81,24 @@ class DeviceFmIndex:
         repeated loads of the same blob skip the host-side build pass.
         ``stream`` also uploads the sort-join stream table
         (``ops.stream_join``) used for large query batches.
+        ``sa_full``: optional full (r=1) suffix array — uint32 array or path
+        to a raw little-endian uint32 file written by
+        ``FmIndexBuilder.build(sa_full_path=...)``.  When present it replaces
+        the sampled SA on device and locate resolves rows with ONE gather
+        instead of the LF walk (results are bit-identical; this is the same
+        memoization move as the dense LUT — config invariance semantics).
         """
         kind = fm.block
         if fm.text_len >= 2**32:
             raise BuildError("device path currently requires positions < 2^32")
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
+
+        if isinstance(sa_full, str):
+            sa_full = np.fromfile(sa_full, dtype="<u4")
+        if sa_full is not None and sa_full.shape[0] != fm.text_len:
+            raise BuildError(
+                f"sa_full length {sa_full.shape[0]} != text_len {fm.text_len}")
 
         n_blocks = fm.rank_checkpoints.shape[0]
         sigma = fm.symbol_count
@@ -92,8 +111,17 @@ class DeviceFmIndex:
         # compiler (axon); a 1 KiB table costs nothing widened.
         if isinstance(fm.encoder, EncodingTable):
             enc_table = fm.encoder.table.astype(np.int32)
+            enc_identity = False
+            enc_default = int(np.bincount(enc_table, minlength=1).argmax())
+            enc_pairs = tuple(
+                (int(v), int(enc_table[v]))
+                for v in range(256) if enc_table[v] != enc_default
+            )
         else:
             enc_table = np.arange(256, dtype=np.int32)
+            enc_identity = True
+            enc_default = 0
+            enc_pairs = ()
 
         from ..build.dense_lut import auto_dense_k, dense_lut
 
@@ -136,14 +164,22 @@ class DeviceFmIndex:
             dense_k=dk,
             stream_rows=s_tbl.shape[0] if (stream and sigma <= 63) else 0,
             stream_tile=stream_tile,
+            enc_identity=enc_identity,
+            enc_pairs=enc_pairs,
+            enc_default=enc_default,
+            has_sa_full=sa_full is not None,
         )
+        if sa_full is not None:
+            sa_dev = sa_full.astype(np.uint32, copy=False)
+        else:
+            sa_dev = fm.suffix_array.astype(np.uint32)
         return cls(
             fused=put(fused),
             kmer_tbl=put(fm.kmer_count_table.astype(np.uint32)),
             dense_lo=put(d_lo),
             dense_hi=put(d_hi),
             count_arr=put(fm.count_array.astype(np.uint32)),
-            sa=put(fm.suffix_array.astype(np.uint32)),
+            sa=put(sa_dev),
             sentinel=put(np.uint32(fm.sentinel_index)),
             enc_table=put(enc_table),
             stream_tbl=put(s_tbl),
@@ -171,15 +207,15 @@ class DeviceFmIndex:
     def count(self, patterns, lens=None, use_stream: bool | None = None) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
         EncodingTable indexes, symbol indices for PassThrough)."""
-        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         lo, hi = _ranges_jit(self, patterns, lens, steps,
-                             self._stream(patterns.shape[0], use_stream))
+                             self._stream(patterns.shape[0], use_stream), facts)
         return hi - lo
 
     def pos_ranges(self, patterns, lens=None, use_stream: bool | None = None):
-        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         return _ranges_jit(self, patterns, lens, steps,
-                           self._stream(patterns.shape[0], use_stream))
+                           self._stream(patterns.shape[0], use_stream), facts)
 
     def locate(self, patterns, lens=None, capacity: int | None = None,
                use_stream: bool | None = None):
@@ -189,27 +225,31 @@ class DeviceFmIndex:
         the counts (rounded up to a power of two to bound recompiles).
         Passing an explicit capacity keeps the whole query in ONE executable.
         """
-        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
         if capacity is None:
-            lo, hi = _ranges_jit(self, patterns, lens, steps, stream)
+            lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
             total = int(jnp.sum(hi - lo))
             capacity = max(1 << max(total - 1, 1).bit_length(), 64)
         locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, steps,
-                                              capacity, stream)
+                                              capacity, stream, facts)
         return locs, pids, valid
 
     def locate_with_counts(self, patterns, lens=None, capacity: int = 1024,
                            use_stream: bool | None = None):
         """One-executable variant: (locs, pids, valid, counts)."""
-        patterns, lens, steps = _as_batch(self.meta, patterns, lens)
+        patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
         locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, steps,
-                                                capacity, stream)
+                                                capacity, stream, facts)
         return locs, pids, valid, hi - lo
 
 
 def _as_batch(meta, patterns, lens):
+    """Normalize the batch and derive STATIC facts about it host-side:
+    ``(all_dense, fixed_len)`` — every lane long enough for the dense seed,
+    and a single shared length — which strip per-element gathers from the
+    compiled program (see ``ops.search``)."""
     if lens is None:
         np_pat = np.asarray(patterns, dtype=np.uint8)
         lens_host = np.full(
@@ -221,29 +261,37 @@ def _as_batch(meta, patterns, lens):
     if patterns.ndim == 1:
         patterns = patterns[None, :]
     steps = search_ops.max_steps_needed(meta, lens_host, patterns.shape[1])
-    return patterns, jnp.asarray(lens_host), steps
+    all_dense = bool(meta.dense_k) and lens_host.size > 0 and bool(
+        (lens_host >= meta.dense_k).all())
+    fixed_len = int(lens_host[0]) if (
+        lens_host.size > 0 and (lens_host == lens_host[0]).all()) else None
+    return patterns, jnp.asarray(lens_host), steps, (all_dense, fixed_len)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
-                use_stream: bool = False):
-    sym = search_ops.encode_patterns(idx.enc_table, patterns)
+                use_stream: bool = False, facts=(False, None)):
+    all_dense, fixed_len = facts
+    sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
     return search_ops.pos_ranges(
         idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
         idx.count_arr, idx.sentinel, sym, lens, steps,
         stream_tbl=idx.stream_tbl, use_stream=use_stream,
+        all_dense=all_dense, fixed_len=fixed_len,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _locate_jit(idx: DeviceFmIndex, patterns, lens, steps: int, capacity: int,
-                use_stream: bool = False):
+                use_stream: bool = False, facts=(False, None)):
     """Full pipeline in one program: search + expand + walk."""
-    sym = search_ops.encode_patterns(idx.enc_table, patterns)
+    all_dense, fixed_len = facts
+    sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
     lo, hi = search_ops.pos_ranges(
         idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
         idx.count_arr, idx.sentinel, sym, lens, steps,
         stream_tbl=idx.stream_tbl, use_stream=use_stream,
+        all_dense=all_dense, fixed_len=fixed_len,
     )
     locs, pids, valid = locate_ops.locate_rows(
         idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity,

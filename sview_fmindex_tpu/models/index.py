@@ -146,13 +146,18 @@ class FmIndex:
         return self._blob
 
     def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
-                  dense_lut_cache: str | None = None):
-        """Upload to a :class:`DeviceFmIndex` for batched TPU queries."""
+                  dense_lut_cache: str | None = None, sa_full=None,
+                  stream: bool = True):
+        """Upload to a :class:`DeviceFmIndex` for batched TPU queries.
+
+        ``sa_full``: optional full (r=1) suffix array (uint32 array or raw
+        file path) — see ``DeviceFmIndex.from_host``.
+        """
         from .device_index import DeviceFmIndex
 
         return DeviceFmIndex.from_host(
             self, device=device, dense_lut_entries=dense_lut_entries,
-            dense_lut_cache=dense_lut_cache,
+            dense_lut_cache=dense_lut_cache, sa_full=sa_full, stream=stream,
         )
 
     # ------------------------------------------------------------------

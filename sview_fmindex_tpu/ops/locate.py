@@ -94,6 +94,12 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
 def locate_rows(meta, fused, count_arr, sa, sentinel, lo, hi, capacity: int,
                 stream_tbl=None, use_stream: bool = False):
     rows, pat_ids, valid = expand_ranges(lo, hi, capacity)
+    if getattr(meta, "has_sa_full", False):
+        # full (r=1) SA resident on device: one gather resolves every row,
+        # including the sentinel-walk case (SA value 0 at the sentinel row
+        # equals the offset the reference walk would emit, locate/mod.rs:27-30)
+        locs = jnp.where(valid, jnp.take(sa, rows.astype(jnp.int32)), U32(0))
+        return locs, pat_ids, valid
     locs = walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
                      stream_tbl=stream_tbl, use_stream=use_stream)
     return locs, pat_ids, valid

@@ -28,8 +28,24 @@ import numpy as np
 from .rank import U32, rank_next
 
 
-def encode_patterns(enc_table: jax.Array, patterns: jax.Array) -> jax.Array:
-    """raw pattern bytes [B, L] -> symbol indices int32 [B, L]."""
+def encode_patterns(enc_table: jax.Array, patterns: jax.Array,
+                    meta=None) -> jax.Array:
+    """raw pattern bytes [B, L] -> symbol indices int32 [B, L].
+
+    A 256-entry table gather costs ~18 ns/byte on TPU (latency-bound), i.e.
+    tens of ms for a 100k x 20 batch.  When ``meta`` carries the table's
+    static content (``enc_pairs``: the few bytes that do NOT map to the
+    wildcard/default symbol, ``encoding_table.rs:17-24``), the encode becomes
+    a handful of VPU compare-selects instead.
+    """
+    if meta is not None and getattr(meta, "enc_identity", False):
+        return patterns.astype(jnp.int32)
+    pairs = getattr(meta, "enc_pairs", None) if meta is not None else None
+    if pairs is not None and len(pairs) <= 128:
+        out = jnp.full(patterns.shape, meta.enc_default, jnp.int32)
+        for v, s in pairs:
+            out = jnp.where(patterns == jnp.uint8(v), jnp.int32(s), out)
+        return out
     return jnp.take(enc_table, patterns.astype(jnp.int32), axis=0).astype(jnp.int32)
 
 
@@ -57,11 +73,32 @@ def blob_initial_range(meta, kmer_tbl: jax.Array, sym: jax.Array, lens: jax.Arra
     return lo, hi, rem_steps
 
 
-def initial_range(meta, kmer_tbl, dense_lo, dense_hi, sym, lens):
+def initial_range(meta, kmer_tbl, dense_lo, dense_hi, sym, lens,
+                  all_dense: bool = False, fixed_len: int | None = None):
     """Seed every lane: dense table when len >= dense_k, blob table else.
 
     Returns (lo, hi) uint32 [B], rem_steps int32 [B], seed_len int32 [B].
+
+    ``all_dense`` (static, host-derived): every lane's length >= dense_k, so
+    the blob-table seed is skipped entirely.  ``fixed_len`` (static): all
+    lanes share this length, so digit extraction is static slicing instead of
+    take_along_axis.
     """
+    if all_dense and meta.dense_k:
+        dk = meta.dense_k
+        idx = jnp.zeros(sym.shape[:-1], dtype=jnp.int32)
+        for i in range(dk):
+            if fixed_len is not None:
+                digit = sym[..., fixed_len - dk + i]
+            else:
+                j = jnp.clip(lens - dk + i, 0, max(sym.shape[-1] - 1, 0))
+                digit = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+            idx = idx * meta.sigma + digit
+        lo = jnp.take(dense_lo, idx)
+        hi = jnp.take(dense_hi, idx)
+        rem = lens - dk
+        seed_len = jnp.full_like(lens, dk)
+        return lo, hi, rem, seed_len
     lo, hi, rem = blob_initial_range(meta, kmer_tbl, sym, lens)
     seed_len = jnp.full_like(lens, meta.kmer_size)
     if meta.dense_k:
@@ -110,26 +147,38 @@ def take_small(table: jax.Array, idx: jax.Array, size: int) -> jax.Array:
 
 
 def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
-               sym, lens, steps: int, stream_tbl=None, use_stream: bool = False):
+               sym, lens, steps: int, stream_tbl=None, use_stream: bool = False,
+               all_dense: bool = False, fixed_len: int | None = None):
     """Full backward search: (lo, hi) uint32 [B] for every pattern lane.
 
     ``steps`` must be >= every lane's rem_steps (see max_steps_needed).
     ``use_stream`` routes the per-step rank queries through the streaming
     sort-join kernel (``ops.stream_join``) instead of XLA row gathers.
+    ``all_dense``/``fixed_len`` are static host-derived batch facts (see
+    ``initial_range``) that strip gathers from the seed and symbol fetches.
     """
     lo, hi, rem_steps, seed_len = initial_range(
-        meta, kmer_tbl, dense_lo, dense_hi, sym, lens
+        meta, kmer_tbl, dense_lo, dense_hi, sym, lens,
+        all_dense=all_dense, fixed_len=fixed_len,
     )
     Lmax = sym.shape[-1]
     if steps == 0:
         return lo, hi
     B = lo.shape[0]
+    static_seed = meta.dense_k if (all_dense and meta.dense_k) else None
 
     def body(t, carry):
         lo, hi = carry
         active = (t < rem_steps) & (lo < hi)
-        j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
-        s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+        if static_seed is not None and fixed_len is not None:
+            # uniform-length all-dense batch: the symbol index is static
+            j0 = fixed_len - static_seed - 1
+            s = jax.lax.dynamic_slice_in_dim(sym, 0, max(j0 + 1, 1), axis=-1)
+            s = jax.lax.dynamic_index_in_dim(
+                s, jnp.maximum(j0 - t, 0), axis=-1, keepdims=False)
+        else:
+            j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
+            s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
         # inactive lanes gather block 0 (hot row) instead of a random one
         ends = jnp.stack([lo, hi])  # [2, B]
         ends_q = jnp.where(active[None, :], ends, U32(0))
@@ -160,12 +209,14 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
 
 def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
                 enc_table, patterns, lens, steps: int,
-                stream_tbl=None, use_stream: bool = False):
+                stream_tbl=None, use_stream: bool = False,
+                all_dense: bool = False, fixed_len: int | None = None):
     """counts uint32 [B] for raw byte patterns [B, Lmax] with lengths [B]."""
-    sym = encode_patterns(enc_table, patterns)
+    sym = encode_patterns(enc_table, patterns, meta)
     lo, hi = pos_ranges(
         meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
         sym, lens.astype(jnp.int32), steps,
         stream_tbl=stream_tbl, use_stream=use_stream,
+        all_dense=all_dense, fixed_len=fixed_len,
     )
     return hi - lo

@@ -61,6 +61,16 @@ class ShardedFmIndex:
 
         return max_steps_needed(self.index.meta, lens, patterns.shape[1])
 
+    def _facts(self, lens) -> tuple:
+        """Static host-side batch facts (see device_index._as_batch).
+        Padding lanes get length 1, so all_dense only holds unpadded."""
+        meta = self.index.meta
+        all_dense = bool(meta.dense_k) and lens.size > 0 and bool(
+            (lens >= meta.dense_k).all())
+        fixed_len = int(lens[0]) if (
+            lens.size > 0 and (lens == lens[0]).all()) else None
+        return (all_dense, fixed_len)
+
     def _stream(self, B: int, use_stream: bool | None) -> bool:
         per_shard = B // self.n_devices
         if use_stream is None:
@@ -73,6 +83,7 @@ class ShardedFmIndex:
             self.index, patterns, lens, self.mesh, self.axis,
             self._steps(patterns, lens),
             self._stream(patterns.shape[0], use_stream),
+            self._facts(lens),
         )
         return counts[:b]
 
@@ -82,6 +93,7 @@ class ShardedFmIndex:
             self.index, patterns, lens, self.mesh, self.axis,
             self._steps(patterns, lens),
             self._stream(patterns.shape[0], use_stream),
+            self._facts(lens),
         )
         return lo[:b], hi[:b]
 
@@ -100,7 +112,8 @@ class ShardedFmIndex:
         steps = self._steps(patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_sharded(
-            self.index, patterns, lens, self.mesh, self.axis, steps, stream
+            self.index, patterns, lens, self.mesh, self.axis, steps, stream,
+            self._facts(lens),
         )
         if capacity_per_shard is None:
             counts = np.asarray(hi) - np.asarray(lo)
@@ -116,8 +129,9 @@ class ShardedFmIndex:
 
 
 # ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
+                   facts=(False, None)):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -130,13 +144,15 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
             idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
             idx.count_arr, idx.sentinel, idx.enc_table, patterns, lens, steps,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
+            all_dense=facts[0], fixed_len=facts[1],
         )
 
     return run(idx, patterns, lens)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
+                    facts=(False, None)):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -145,11 +161,12 @@ def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False):
         out_specs=(P(axis), P(axis)),
     )
     def run(idx, patterns, lens):
-        sym = search_ops.encode_patterns(idx.enc_table, patterns)
+        sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
         return search_ops.pos_ranges(
             idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
             idx.count_arr, idx.sentinel, sym, lens, steps,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
+            all_dense=facts[0], fixed_len=facts[1],
         )
 
     return run(idx, patterns, lens)

@@ -173,3 +173,74 @@ def test_dense_lut_toggle_invariance():
                 out.setdefault(int(p), []).append(int(l))
         return {k: sorted(v) for k, v in out.items()}
     assert collect(dev_on) == collect(dev_off)
+
+
+def test_uniform_length_all_dense_fast_path():
+    """A uniform-length batch with every lane >= dense_k takes the static
+    seed/symbol fast path (all_dense + fixed_len) — results must be identical
+    to the general path (forced by mixing one short pattern in)."""
+    rng = random.Random(7)
+    symbols = [b"A", b"C", b"G", b"T"]
+    text = gen_rand_text(rng, symbols, 3000, 4000)
+    fm = _build(text, symbols, BlockKind(3, 64), 2, 3)
+    dev = fm.to_device()
+    assert dev.meta.dense_k >= 4
+
+    uniform = [gen_rand_pattern(rng, text, 12, 12) for _ in range(32)]
+    batch_u, lens_u = pack_patterns(uniform)
+    counts_u = np.asarray(dev.count(batch_u, lens_u))
+
+    mixed = uniform + [gen_rand_pattern(rng, text, 2, 2)]
+    batch_m, lens_m = pack_patterns(mixed)
+    counts_m = np.asarray(dev.count(batch_m, lens_m))
+
+    assert (counts_u == counts_m[:32]).all()
+    for i, p in enumerate(uniform):
+        assert counts_u[i] == fm.count(p), (i, p)
+
+    locs, pids, valid = map(np.asarray, dev.locate(batch_u, lens_u))
+    got = {}
+    for l, pid, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(pid), []).append(int(l))
+    for i, p in enumerate(uniform):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
+
+
+def test_sa_full_locate_path(tmp_path):
+    """Full (r=1) SA device cache: locate via ONE gather must equal the LF
+    walk bit-exactly, including sentinel-row and short-pattern cases."""
+    rng = random.Random(11)
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    enc = EncodingTable.from_symbols(symbols)
+    text = gen_rand_text(rng, symbols, 800, 1200)
+    sa_path = str(tmp_path / "sa_full.u32")
+    builder = FmIndexBuilder(
+        len(text), enc.symbol_count(), enc, position="u32", block=BlockKind(2, 64),
+        suffix_array_config=SuffixArrayConfig.compressed(3),
+        lookup_table_config=LookupTableConfig.kmer_size(2),
+    )
+    blob = builder.build(text, sa_full_path=sa_path)
+    fm = FmIndex.load(blob, position="u32", block=BlockKind(2, 64), encoder_kind="table")
+    dev_walk = fm.to_device()
+    dev_full = fm.to_device(sa_full=sa_path)
+    assert dev_full.meta.has_sa_full and not dev_walk.meta.has_sa_full
+    assert dev_full.sa.shape[0] == fm.text_len
+
+    # pattern of length 1 hits the sentinel-walk short-circuit often
+    patterns = [gen_rand_pattern(rng, text, 1, 10) for _ in range(50)]
+    patterns.append(text[:1])
+    batch, lens = pack_patterns(patterns)
+
+    def collect(dev):
+        locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+        out = {}
+        for l, p, v in zip(locs, pids, valid):
+            if v:
+                out.setdefault(int(p), []).append(int(l))
+        return {k: sorted(v) for k, v in out.items()}
+
+    walk, full = collect(dev_walk), collect(dev_full)
+    assert walk == full
+    for i, p in enumerate(patterns):
+        assert full.get(i, []) == sorted(fm.locate(p)), (i, p)
