@@ -1,18 +1,24 @@
 """Headline benchmark: locate queries/sec/chip on the README benchmark config.
 
 Mirrors the reference's methodology (``bench/run_benchmark.sh``, README
-tables, BASELINE.md): random nucleotide text (seed 42), 20 bp patterns
+tables, BASELINE.md): 1 Gbp random nucleotide text (seed 42), 20 bp patterns
 extracted from the text, cold=100% (all unique), index = u32 positions /
 Block3<u64> / SA sampling 2 / k-mer LUT 3.
 
 Baseline anchor (BASELINE.md): ~2.3e5 locate/s single Xeon core, in-memory.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Engine selection: the streaming sort-join engine (``ops.stream_join``) serves
+the timed runs; before the result is printed the same full batch runs through
+the XLA-gather engine and both are asserted equal (the TPU-side parity gate
+— the bench aborts on any mismatch).
 
 Env knobs:
-  BENCH_TEXT_SIZE      text length (default 1e8)
+  BENCH_TEXT_SIZE      text length (default 1e9)
   BENCH_PATTERN_COUNT  number of 20 bp patterns (default 100_000)
   BENCH_CACHE_DIR      blob cache dir (default ./bench_cache)
+  BENCH_PARITY=0       skip the gather-engine parity gate (debug only)
 """
 from __future__ import annotations
 
@@ -23,7 +29,7 @@ import time
 
 import numpy as np
 
-TEXT_SIZE = int(float(os.environ.get("BENCH_TEXT_SIZE", "1e8")))
+TEXT_SIZE = int(float(os.environ.get("BENCH_TEXT_SIZE", "1e9")))
 PATTERN_COUNT = int(float(os.environ.get("BENCH_PATTERN_COUNT", "1e5")))
 PATTERN_LEN = 20
 SEED = 42
@@ -48,6 +54,10 @@ def get_text() -> bytes:
     return text.tobytes()
 
 
+def sa_full_path() -> str:
+    return os.path.join(CACHE_DIR, f"sa_full_{TEXT_SIZE}_{SEED}.u32")
+
+
 def get_blob(text: bytes):
     from sview_fmindex_tpu import (
         BLOCK3_U64,
@@ -67,10 +77,10 @@ def get_blob(text: bytes):
             lookup_table_config=LookupTableConfig.kmer_size(3),
         )
         t0 = time.time()
-        blob = builder.build(text)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        blob = builder.build(text, sa_full_path=sa_full_path())
         log(f"[bench] built index for {TEXT_SIZE} bp in {time.time()-t0:.1f}s "
             f"({len(blob)/2**20:.0f} MiB); caching")
-        os.makedirs(CACHE_DIR, exist_ok=True)
         with open(path, "wb") as f:
             f.write(blob)
     mm = np.memmap(path, dtype=np.uint8, mode="r")
@@ -79,6 +89,7 @@ def get_blob(text: bytes):
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     # persistent compile cache: the driver re-runs this on fresh processes
     cache_dir = os.path.join(CACHE_DIR, "xla_cache")
@@ -96,46 +107,57 @@ def main() -> None:
 
     t0 = time.time()
     lut_cache = os.path.join(CACHE_DIR, f"dense_lut_{TEXT_SIZE}_{SEED}.npz")
-    dev = fm.to_device(dense_lut_cache=lut_cache)
-    log(f"[bench] device upload (dense_k={dev.meta.dense_k}): {time.time()-t0:.2f}s")
+    sa_full = sa_full_path() if os.path.exists(sa_full_path()) else None
+    dev = fm.to_device(dense_lut_cache=lut_cache, sa_full=sa_full)
+    upload_s = time.time() - t0
+    log(f"[bench] device upload (dense_k={dev.meta.dense_k}, "
+        f"sa_full={dev.meta.has_sa_full}): {upload_s:.2f}s")
 
-    import jax.numpy as jnp
+    # the axon runtime pays a large one-time cost in the first executable
+    # that contains XLA gathers (~30 s per distinct gather op in it);
+    # front-load it with a single-gather dummy program.
+    t0 = time.time()
+    _d = jnp.asarray(np.arange(1024, dtype=np.uint32))
+    _i = jnp.asarray(np.arange(256, dtype=np.int32))
+    float(jax.jit(lambda t, i: jnp.take(t, i).sum())(_d, _i))
+    log(f"[bench] gather prewarm: {time.time()-t0:.1f}s")
 
     rng = np.random.default_rng(SEED + 1)
     starts = rng.integers(0, TEXT_SIZE - PATTERN_LEN, size=PATTERN_COUNT)
     text_arr = np.frombuffer(text, np.uint8)
-    patterns_np = np.stack([text_arr[s : s + PATTERN_LEN] for s in starts])
+    patterns_np = text_arr[starts[:, None] + np.arange(PATTERN_LEN)]
     # pre-upload the batch: we time the chip, not the host->device link
     patterns = jnp.asarray(patterns_np)
-    lens = jnp.full(PATTERN_COUNT, PATTERN_LEN, dtype=jnp.int32)
+    lens = np.full(PATTERN_COUNT, PATTERN_LEN, dtype=np.int32)
 
     # ---- count-only throughput (the ranges executable IS count) ----
-    # NB: timing forces a device->host scalar each rep; axon's
-    # block_until_ready acks before execution completes.
     t0 = time.time()
-    counts = np.asarray(dev.count(patterns, lens))  # warmup + correctness
-    log(f"[bench] count warmup: {time.time()-t0:.1f}s")
+    counts = np.asarray(dev.count(patterns, lens, use_stream=True))
+    count_warmup = time.time() - t0
+    log(f"[bench] count warmup: {count_warmup:.1f}s")
     assert (counts >= 1).all()
     # pipelined steady-state: enqueue all reps, then force every result —
     # the device overlaps independent batches, the final materializations
     # keep the timing honest (block_until_ready acks early on this backend)
     reps = 4
     t0 = time.time()
-    results = [dev.count(patterns, lens) for _ in range(reps)]
+    results = [dev.count(patterns, lens, use_stream=True) for _ in range(reps)]
     for c in results:
         float(c.sum())
     count_qps = reps * PATTERN_COUNT / (time.time() - t0)
     log(f"[bench] count-only: {count_qps/1e6:.3f} Mq/s")
 
-    # ---- locate throughput: ONE executable (search+expand+walk) ----
+    # ---- locate throughput: ONE executable (search+expand+resolve) ----
     total = int(counts.sum())
     capacity = max(1 << (total - 1).bit_length(), 1024)
     t0 = time.time()
-    locs, pids, valid, c2 = dev.locate_with_counts(patterns, lens, capacity=capacity)
+    locs, pids, valid, c2 = dev.locate_with_counts(
+        patterns, lens, capacity=capacity, use_stream=True)
     locs.block_until_ready()
-    log(f"[bench] locate warmup: {time.time()-t0:.1f}s")
+    locate_warmup = time.time() - t0
+    log(f"[bench] locate warmup: {locate_warmup:.1f}s")
     t0 = time.time()
-    outs = [dev.locate_with_counts(patterns, lens, capacity=capacity)
+    outs = [dev.locate_with_counts(patterns, lens, capacity=capacity, use_stream=True)
             for _ in range(reps)]
     for locs, pids, valid, c2 in outs:
         float(locs.max())  # force full execution + round-trip
@@ -143,18 +165,38 @@ def main() -> None:
     log(f"[bench] locate: {locate_qps/1e6:.3f} Mq/s ({total} hits, capacity {capacity})")
     locs, pids, valid, c2 = outs[-1]
 
-    # spot-check correctness on device results
     locs_np, pids_np, valid_np = map(np.asarray, (locs, pids, valid))
-    idx = np.nonzero(valid_np)[0][:50]
+    # text-level correctness: every reported location matches its pattern
+    idx = np.nonzero(valid_np)[0][:200]
     for i in idx:
         l, p = int(locs_np[i]), int(pids_np[i])
         assert bytes(text_arr[l : l + PATTERN_LEN]) == bytes(patterns_np[p]), (l, p)
+
+    # ---- TPU-side parity gate: full batch, stream vs gather engines ----
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        t0 = time.time()
+        c_g = np.asarray(dev.count(patterns, lens, use_stream=False))
+        assert (c_g == counts).all(), "count parity FAILED (stream vs gather)"
+        lg, pg, vg, cg2 = dev.locate_with_counts(
+            patterns, lens, capacity=capacity, use_stream=False)
+        lg, pg, vg = map(np.asarray, (lg, pg, vg))
+        assert (vg == valid_np).all() and (lg[vg] == locs_np[valid_np]).all() \
+            and (pg[vg] == pids_np[valid_np]).all(), \
+            "locate parity FAILED (stream vs gather)"
+        log(f"[bench] parity gate (full batch, both engines): OK "
+            f"({time.time()-t0:.1f}s)")
 
     print(json.dumps({
         "metric": "locate_queries_per_sec_per_chip",
         "value": round(locate_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(locate_qps / BASELINE_LOCATE_QPS, 2),
+        "count_qps": round(count_qps, 1),
+        "text_size": TEXT_SIZE,
+        "pattern_count": PATTERN_COUNT,
+        "warmup_s": {"upload": round(upload_s, 1),
+                     "count": round(count_warmup, 1),
+                     "locate": round(locate_warmup, 1)},
     }))
 
 

@@ -50,45 +50,58 @@ def rank_next_batch(fm, pos: np.ndarray, symidx: np.ndarray) -> np.ndarray:
     return ckpt + cnt
 
 
-def dense_lut(fm, dk: int) -> tuple[np.ndarray, np.ndarray]:
+def dense_lut(fm, dk: int, chunk: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
     """(lo, hi) uint32 [sigma**dk] — the backward-search range of every
     length-``dk`` symbol string, indexed big-endian (first symbol of the
-    string is the most-significant base-sigma digit)."""
+    string is the most-significant base-sigma digit).  Chunked so peak
+    memory stays bounded at dk >= 13 (4**13 = 67M entries)."""
     sigma = fm.symbol_count
     k = fm.kmer_size
     if dk < k:
         raise ValueError(f"dense k {dk} must be >= blob k-mer size {k}")
     M = sigma**dk
-    idx = np.arange(M, dtype=np.int64)
-    # digit j of the string (j=0 leftmost)
-    digits = [(idx // (sigma ** (dk - 1 - j))) % sigma for j in range(dk)]
-
-    # seed with the blob k-mer table on the LAST k digits
-    # (count_array.rs:203-223, full-length case)
-    tbl_idx = np.zeros(M, dtype=np.int64)
-    for i in range(k):
-        tbl_idx += (digits[dk - k + i] + 1) * (sigma + 1) ** (k - 1 - i)
-    tbl = fm.kmer_count_table
-    lo = tbl[tbl_idx - 1].astype(np.int64)
-    hi = tbl[tbl_idx].astype(np.int64)
-
-    # LF steps for the remaining digits, right to left
+    out_lo = np.empty(M, dtype=np.uint32)
+    out_hi = np.empty(M, dtype=np.uint32)
     count_array = fm.count_array.astype(np.int64)
-    for step in range(dk - k):
-        s = digits[dk - k - 1 - step]
-        active = lo < hi
-        pre = count_array[s]
-        nlo = pre + rank_next_batch(fm, lo, s)
-        nhi = pre + rank_next_batch(fm, hi, s)
-        lo = np.where(active, nlo, lo)
-        hi = np.where(active, nhi, hi)
-    return lo.astype(np.uint32), hi.astype(np.uint32)
+    tbl = fm.kmer_count_table
+    for c0 in range(0, M, chunk):
+        c1 = min(c0 + chunk, M)
+        idx = np.arange(c0, c1, dtype=np.int64)
+        # digit j of the string (j=0 leftmost)
+        digits = [(idx // (sigma ** (dk - 1 - j))) % sigma for j in range(dk)]
+
+        # seed with the blob k-mer table on the LAST k digits
+        # (count_array.rs:203-223, full-length case)
+        tbl_idx = np.zeros(c1 - c0, dtype=np.int64)
+        for i in range(k):
+            tbl_idx += (digits[dk - k + i] + 1) * (sigma + 1) ** (k - 1 - i)
+        lo = tbl[tbl_idx - 1].astype(np.int64)
+        hi = tbl[tbl_idx].astype(np.int64)
+
+        # LF steps for the remaining digits, right to left
+        for step in range(dk - k):
+            s = digits[dk - k - 1 - step]
+            active = lo < hi
+            pre = count_array[s]
+            nlo = pre + rank_next_batch(fm, lo, s)
+            nhi = pre + rank_next_batch(fm, hi, s)
+            lo = np.where(active, nlo, lo)
+            hi = np.where(active, nhi, hi)
+        out_lo[c0:c1] = lo.astype(np.uint32)
+        out_hi[c0:c1] = hi.astype(np.uint32)
+    return out_lo, out_hi
 
 
-def auto_dense_k(sigma: int, blob_k: int, max_entries: int) -> int:
+def auto_dense_k(sigma: int, blob_k: int, max_entries: int,
+                 text_len: int | None = None) -> int:
     """Largest dk with sigma**dk <= max_entries; 0 disables densification
-    (when it would not beat the blob table)."""
+    (when it would not beat the blob table).  ``text_len`` additionally caps
+    dk at sigma**dk <= 4*text_len — beyond that nearly every entry is an
+    empty range and the table is wasted memory."""
     dk = 1
     while sigma ** (dk + 1) <= max_entries:
         dk += 1
+    if text_len is not None:
+        while dk > 1 and sigma**dk > 4 * text_len:
+            dk -= 1
     return dk if dk > blob_k else 0

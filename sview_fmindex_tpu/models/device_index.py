@@ -69,7 +69,7 @@ class DeviceFmIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
+    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 26,
                   dense_lut_cache: str | None = None,
                   stream: bool = True,
                   sa_full: "np.ndarray | str | None" = None) -> "DeviceFmIndex":
@@ -125,7 +125,8 @@ class DeviceFmIndex:
 
         from ..build.dense_lut import auto_dense_k, dense_lut
 
-        dk = auto_dense_k(sigma, fm.kmer_size, dense_lut_entries or 0)
+        dk = auto_dense_k(sigma, fm.kmer_size, dense_lut_entries or 0,
+                          text_len=fm.text_len)
         if dk:
             d_lo = d_hi = None
             if dense_lut_cache is not None:

@@ -145,7 +145,7 @@ class FmIndex:
     def blob(self) -> np.ndarray:
         return self._blob
 
-    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
+    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 26,
                   dense_lut_cache: str | None = None, sa_full=None,
                   stream: bool = True):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries.

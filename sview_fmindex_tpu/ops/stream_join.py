@@ -1,41 +1,43 @@
 """Streaming sort-join rank engine (the TPU speed-of-light path).
 
-The XLA row-gather that serves ``ops.rank`` costs ~21 ns per random row on
-TPU (HBM-latency bound, measured in-loop) — it is the entire cost of backward
-search at large batch.  This module replaces it for big batches:
+The XLA row-gather that serves ``ops.rank`` costs ~23-26 ns per random row on
+TPU (HBM-latency bound, measured) — it is the entire cost of backward search
+at large batch.  This module replaces it for big batches:
 
-1. Sort the 2B query positions (device sort is ~1 ns/elt — 20x cheaper than
-   gathering) carrying a packed ``idx<<6|sym`` payload.
+1. Sort the 2B query positions (device sort is ~2-6 ns/elt — an order of
+   magnitude cheaper than gathering) carrying a packed ``idx<<6|sym`` payload.
 2. One Pallas kernel streams the occ table HBM->VMEM tile by tile at full
    bandwidth while walking the sorted queries chunk by chunk (manual DMA with
    a persistent SMEM cursor — the TPU grid is sequential).  Each sub-chunk of
    128 queries fetches its rows from the resident tile with lane-dimension
-   ``dynamic_gather`` (one per 128-block group, composed with a group select
+   ``take_along_axis`` (one per 128-block group, composed with a group select
    — Mosaic's gather reaches only one vreg along the gather dim), and the
-   rank/decode math is elementwise byte compares on the VPU.
+   rank math is bit-plane combine + population_count on the VPU.
 3. Sort the ranks back to lane order by the packed payload.
 
-Total ~2-10 ns per rank query vs ~21 ns, with zero XLA gathers anywhere and
-full-bandwidth sequential HBM traffic instead of random row reads.
-
-Device table layout (built at upload, decoupled from the blob's bit-plane
-format — the bit planes exist to fit CPU caches; a TPU wants gatherable
-words): per tile of T blocks, an int32 matrix ``[RW, T]`` (tiles stacked to
-``[n_tiles*RW, T]``) where column b describes block b of the tile:
+Device table layout (v2 — BIT PLANES, built at upload, decoupled from the
+blob's per-64/32-bit vectors): per tile of T stream-blocks of ``SBL``=128
+positions each, an int32 matrix ``[RW, T]`` (tiles stacked to
+``[n_tiles*RW, T]``) where column b describes stream-block b of the tile:
 
 - rows ``0..sigma``: the block's rank checkpoint words (counts of each symbol
   before the block — same values the reference snapshots per block,
   ``bwm/mod.rs:126-134``),
-- rows ``sigma..sigma+SBL/4``: the block's SBL BWT symbol codes, 4 per int32
-  word, little-endian (sentinel-removed BWT, ``bwm/mod.rs:91-143``);
-  positions past the text end hold 0xFF (matches no symbol < 64),
+- rows ``sigma + p*4 + l`` for plane p, lane l in 0..4: MSB-first uint32
+  bit-plane lanes (lane l covers positions [32l, 32l+32); position i maps to
+  bit ``31 - i%32``) — the same decomposition as the fused gather table
+  (``ops.rank``), re-blocked to SBL positions,
 - remaining rows up to RW (multiple of 8): zero padding.
+
+At sigma=4 this is 64 B per 128 positions (0.5 B/position) vs the v1 byte
+layout's 96 B per 64 positions (1.5 B/position): 3x less HBM streamed.
 
 Semantics preserved bit-exactly vs ``ops.rank``:
 - ``rank_next``: the +1 shift below the sentinel row happens XLA-side before
   the sort (``bwm/mod.rs:202-204``).
-- ``pre_rank_and_symidx``: the decode variant reads the symbol byte at the
-  row position; the sentinel row is masked XLA-side (``bwm/mod.rs:217-236``).
+- ``pre_rank_and_symidx``: the decode variant extracts one bit per plane at
+  the row position; the sentinel row is masked XLA-side
+  (``bwm/mod.rs:217-236``).
 """
 from __future__ import annotations
 
@@ -50,13 +52,17 @@ from jax.experimental.pallas import tpu as pltpu
 U32 = jnp.uint32
 
 # stream-table block length (independent of the blob's Block kind)
-SBL = 64
-SBL_SHIFT = 6
-SYM_ROWS = SBL // 4
+SBL = 128
+SBL_SHIFT = 7
+LANES = SBL // 32  # u32 lanes per plane per block
+
+
+def _planes_for(sigma: int) -> int:
+    return max(1, (sigma - 1).bit_length())
 
 
 def _rw(sigma: int) -> int:
-    return -(-(sigma + SYM_ROWS) // 8) * 8
+    return -(-(sigma + _planes_for(sigma) * LANES) // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -65,32 +71,36 @@ def _rw(sigma: int) -> int:
 
 def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
                        tile_rows: int) -> np.ndarray:
-    """int32 [n_tiles*RW, tile_rows] transposed stream table.
+    """int32 [n_tiles*RW, tile_rows] transposed bit-plane stream table.
 
     ``bwt_symbols``: uint8 [n] sentinel-removed BWT symbol indices.
     Checkpoints are recomputed here for SBL-length blocks (the blob's own
-    checkpoints may use a different block length).
+    checkpoints may use a different block length).  Positions past the text
+    end get plane bits 0; rank masks exclude them (pos <= n always).
     """
     n = bwt_symbols.shape[0]
     n_blocks = n // SBL + 1
     n_blocks_pad = -(-n_blocks // tile_rows) * tile_rows
     n_tiles = n_blocks_pad // tile_rows
+    P = _planes_for(sigma)
     RW = _rw(sigma)
 
     pad_len = n_blocks * SBL - n
     sym_padded = np.concatenate(
-        [bwt_symbols, np.full(pad_len, 255, dtype=np.uint8)]
+        [bwt_symbols, np.zeros(pad_len, dtype=np.uint8)]
     ).reshape(n_blocks, SBL)
-    sym_words = np.ascontiguousarray(sym_padded).view(np.uint32)  # [n_blocks, SYM_ROWS]
-
-    ckpt = np.zeros((n_blocks, sigma), dtype=np.uint32)
-    for s in range(sigma):
-        np.cumsum((sym_padded == s).sum(axis=1)[:-1], out=ckpt[1:, s])
 
     big = np.zeros((n_blocks_pad, RW), dtype=np.uint32)
-    big[:n_blocks, :sigma] = ckpt
-    big[:n_blocks, sigma : sigma + SYM_ROWS] = sym_words
-    big[n_blocks:, sigma : sigma + SYM_ROWS] = 0xFFFFFFFF
+    for s in range(sigma):
+        per_block = (sym_padded == s).sum(axis=1, dtype=np.uint32)
+        if s == 0 and pad_len:
+            per_block[-1] -= pad_len  # pad positions are not symbol 0
+        np.cumsum(per_block[:-1], out=big[1:n_blocks, s])
+    for p in range(P):
+        bits = ((sym_padded >> p) & 1).astype(np.uint8)
+        packed = np.packbits(bits, axis=1)  # MSB-first bytes [n_blocks, SBL/8]
+        lanes = np.ascontiguousarray(packed).view(">u4").astype(np.uint32)
+        big[:n_blocks, sigma + p * LANES : sigma + (p + 1) * LANES] = lanes
 
     out = (
         big.reshape(n_tiles, tile_rows, RW)
@@ -104,7 +114,8 @@ def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
 # the join kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
+def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
+                 skip_groups: bool = False):
     """Grid over table tiles; walks sorted query chunks with a persistent
     SMEM cursor.  ``decode=False``: rank_next(pos, sym).  ``decode=True``:
     (rank, symidx) at pos (the locate-walk primitive).
@@ -112,12 +123,14 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
     Queries live in HBM as [N/128, 128] rows; a chunk is CR = C/128 rows,
     processed in CR sub-chunks of 128 queries each.
     """
+    P = _planes_for(sigma)
     RW = _rw(sigma)
     CR = C // 128
     n_groups = T // 128
 
     def kernel(pos_hbm, meta_hbm, tile_ref, out_hbm, out2_hbm,
-               smem, pos_buf, meta_buf, out_buf, out2_buf, in_sems, out_sems):
+               smem, pos_buf, meta_buf, out_buf, out2_buf, acc_buf,
+               in_sems, out_sems):
         t = pl.program_id(0)
         win_lo = t * T
         win_hi = win_lo + T
@@ -146,41 +159,63 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
                 local = jnp.where(mine, blk - win_lo, 0)         # [1,128]
                 grp = local >> 7
                 lane = jnp.broadcast_to(local & 127, (RW, 128))
-                acc = jnp.zeros((RW, 128), jnp.int32)
-                for g in range(n_groups):
-                    part = jnp.take_along_axis(
-                        tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
-                    acc = jnp.where(grp == g, part, acc)
-                words = acc.astype(jnp.uint32)                   # [RW,128]
+                if skip_groups:
+                    # empty-group skipping: for dense sorted batches a
+                    # 128-query sub-chunk spans only a few 128-block groups
+                    acc_buf[:] = jnp.zeros((RW, 128), jnp.int32)
+                    for g in range(n_groups):
+                        @pl.when(jnp.any(grp == g))
+                        def _(g=g):
+                            part = jnp.take_along_axis(
+                                tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
+                            acc_buf[:] = jnp.where(grp == g, part, acc_buf[:])
+                    words = acc_buf[:].astype(jnp.uint32)        # [RW,128]
+                else:
+                    acc = jnp.zeros((RW, 128), jnp.int32)
+                    for g in range(n_groups):
+                        part = jnp.take_along_axis(
+                            tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
+                        acc = jnp.where(grp == g, part, acc)
+                    words = acc.astype(jnp.uint32)               # [RW,128]
 
                 rem = (pos_row & U32(SBL - 1)).astype(jnp.int32)  # [1,128]
-                row = jax.lax.broadcasted_iota(jnp.int32, (RW, 128), 0)
-                is_sym_row = (row >= sigma) & (row < sigma + SYM_ROWS)
+
+                def wrow(i):  # one table row as [1,128]
+                    return words[i].reshape(1, 128)
 
                 if decode:
+                    # symbol at the row position: one bit per plane
+                    lane_star = rem >> 5
+                    bit_star = (U32(31) - (pos_row & U32(31)))
                     sym = jnp.zeros((1, 128), jnp.int32)
-                    for k in range(4):
-                        byte_k = ((words >> (8 * k)) & U32(255)).astype(jnp.int32)
-                        p_k = (row - sigma) * 4 + k
-                        sym = sym + jnp.sum(
-                            jnp.where(is_sym_row & (p_k == rem), byte_k, 0),
-                            axis=0, keepdims=True)
+                    for p in range(P):
+                        lv = jnp.zeros((1, 128), U32)
+                        for l in range(LANES):
+                            lv = jnp.where(lane_star == l,
+                                           wrow(sigma + p * LANES + l), lv)
+                        bit = (lv >> bit_star) & U32(1)
+                        sym = sym + (bit.astype(jnp.int32) << p)
                 else:
                     sym = (meta_buf[j] & 63).astype(jnp.int32).reshape(1, 128)
 
-                ckpt = jnp.sum(
-                    jnp.where(row == sym, acc, 0), axis=0, keepdims=True
-                ).astype(jnp.uint32)                              # [1,128]
+                ckpt = jnp.zeros((1, 128), U32)
+                for s in range(sigma):
+                    ckpt = jnp.where(sym == s, wrow(s), ckpt)
 
-                cnt = jnp.zeros((1, 128), jnp.int32)
-                for k in range(4):
-                    byte_k = ((words >> (8 * k)) & U32(255)).astype(jnp.int32)
-                    p_k = (row - sigma) * 4 + k
-                    cnt = cnt + jnp.sum(
-                        jnp.where(is_sym_row & (p_k < rem) & (byte_k == sym), 1, 0),
-                        axis=0, keepdims=True)
+                cnt = jnp.zeros((1, 128), U32)
+                for l in range(LANES):
+                    comb = jnp.full((1, 128), 0xFFFFFFFF, U32)
+                    for p in range(P):
+                        w = wrow(sigma + p * LANES + l)
+                        bit_p = ((sym >> p) & 1) == 1
+                        comb = comb & jnp.where(bit_p, w, ~w)
+                    take = jnp.clip(rem - 32 * l, 0, 32)
+                    shift = jnp.minimum(32 - take, 31).astype(U32)
+                    mask = jnp.where(take == 0, U32(0),
+                                     (jnp.full((1, 128), 0xFFFFFFFF, U32) << shift))
+                    cnt = cnt + jax.lax.population_count(comb & mask)
 
-                rank = ckpt + cnt.astype(jnp.uint32)
+                rank = ckpt + cnt
                 mine1 = mine.reshape(128)
                 out_buf[j] = jnp.where(mine1, rank.reshape(128), out_buf[j])
                 if decode:
@@ -230,8 +265,9 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
 
 @functools.lru_cache(maxsize=64)
 def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
-             decode: bool, interpret: bool):
-    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode)
+             decode: bool, interpret: bool, skip_groups: bool = False):
+    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode,
+                              skip_groups=skip_groups)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -250,6 +286,7 @@ def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
             pltpu.VMEM((C // 128, 128), jnp.int32),
             pltpu.VMEM((C // 128, 128), jnp.uint32),
             pltpu.VMEM((C // 128, 128), jnp.int32),
+            pltpu.VMEM((RW, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -287,7 +324,8 @@ def _pad_len(n: int, C: int) -> int:
 
 def rank_next_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
                      pos: jax.Array, sym: jax.Array,
-                     T: int = 2048, C: int = 1024) -> jax.Array:
+                     T: int = 2048, C: int = 1024,
+                     skip_groups: bool = False) -> jax.Array:
     """Batched ``get_next_rank`` via sort-join.  pos u32 [N], sym i32 [N]
     (sym must be < 64).  Bit-exact vs ``ops.rank.rank_next``."""
     n = pos.shape[0]
@@ -303,7 +341,8 @@ def rank_next_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
     sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
     sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
 
-    join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False, _use_interpret())
+    join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False, _use_interpret(),
+                    skip_groups=skip_groups)
     ranks, _ = join(sp, sm, table_i32)
     _, unsorted = jax.lax.sort((sm, ranks), num_keys=1)
     return unsorted[:n]
