@@ -119,8 +119,9 @@ def initial_range(meta, kmer_tbl, dense_lo, dense_hi, sym, lens,
 
 
 def max_steps_needed(meta, lens, Lmax: int) -> int:
-    """Host-side static trip count for the LF loop (rounded up to 4 to
-    bound executable proliferation)."""
+    """Host-side static trip count for the LF loop.  Exact for uniform-length
+    batches (every step is ~ms at Gbp scale); rounded up to 2 otherwise to
+    bound executable proliferation."""
     lens = np.asarray(lens)
     if lens.size == 0:
         return 0
@@ -133,8 +134,10 @@ def max_steps_needed(meta, lens, Lmax: int) -> int:
     else:
         per = np.maximum(lens - meta.kmer_size, 0)
     s = int(per.max())
+    if not (lens == lens[0]).all():
+        s = -(-s // 2) * 2
     cap = max(Lmax - meta.kmer_size, 0)
-    return min(-(-s // 4) * 4, cap)
+    return min(s, cap)
 
 
 def take_small(table: jax.Array, idx: jax.Array, size: int) -> jax.Array:
