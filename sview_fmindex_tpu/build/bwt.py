@@ -40,6 +40,11 @@ def bwt_and_sampled_sa(
     pidx = int(pidx_rows[0])
     bwt_wo = np.delete(bwt, pidx)
     if sa_full_path is not None:
+        if n >= 2**32:
+            raise ValueError(
+                "sa_full_path stores little-endian uint32 positions; "
+                f"text_len {n} >= 2^32 would truncate — omit sa_full_path "
+                "for u64-position builds")
         sa[1:].astype("<u4", copy=False).tofile(sa_full_path)
     sampled_sa = sa[1:][::sampling_ratio].astype(np.int64, copy=False)
     return bwt_wo, pidx, sampled_sa

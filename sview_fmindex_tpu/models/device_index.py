@@ -69,9 +69,9 @@ class DeviceFmIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 26,
+    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
                   dense_lut_cache: str | None = None,
-                  stream: bool = True,
+                  stream: bool = True, stream_tile: int | None = None,
                   sa_full: "np.ndarray | str | None" = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
@@ -96,9 +96,17 @@ class DeviceFmIndex:
 
         if isinstance(sa_full, str):
             sa_full = np.fromfile(sa_full, dtype="<u4")
-        if sa_full is not None and sa_full.shape[0] != fm.text_len:
-            raise BuildError(
-                f"sa_full length {sa_full.shape[0]} != text_len {fm.text_len}")
+        if sa_full is not None:
+            if sa_full.shape[0] != fm.text_len:
+                raise BuildError(
+                    f"sa_full length {sa_full.shape[0]} != text_len {fm.text_len}")
+            # guard against a stale cache from a DIFFERENT text of the same
+            # length: the blob's sampled SA must be exactly sa_full[::r]
+            if not np.array_equal(sa_full[:: fm.sampling_ratio],
+                                  fm.suffix_array.astype(np.uint32)):
+                raise BuildError(
+                    "sa_full does not match the blob's sampled suffix array "
+                    "(stale or mismatched sa_full cache)")
 
         n_blocks = fm.rank_checkpoints.shape[0]
         sigma = fm.symbol_count
@@ -145,7 +153,8 @@ class DeviceFmIndex:
 
         from ..ops import stream_join
 
-        stream_tile = IndexMeta.stream_tile
+        if stream_tile is None:
+            stream_tile = IndexMeta.stream_tile
         if stream and sigma <= 63:
             bwt = stream_join.bwt_from_planes(
                 np.ascontiguousarray(fm.lanes), kind.num_planes, fm.text_len)

@@ -87,7 +87,8 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
     done = valid & False
     if r > 1:
         pos, offset, loc, done = jax.lax.while_loop(cond, body, (pos, offset, loc, done))
-    sampled = jnp.take(sa, (pos // U32(r)).astype(jnp.int32))
+    # indices stay uint32: an int32 cast overflows for text_len in [2^31, 2^32)
+    sampled = jnp.take(sa, pos // U32(r))
     return jnp.where(done, loc, sampled + offset)
 
 
@@ -98,7 +99,8 @@ def locate_rows(meta, fused, count_arr, sa, sentinel, lo, hi, capacity: int,
         # full (r=1) SA resident on device: one gather resolves every row,
         # including the sentinel-walk case (SA value 0 at the sentinel row
         # equals the offset the reference walk would emit, locate/mod.rs:27-30)
-        locs = jnp.where(valid, jnp.take(sa, rows.astype(jnp.int32)), U32(0))
+        # rows stay uint32: an int32 cast overflows for text_len in [2^31, 2^32)
+        locs = jnp.where(valid, jnp.take(sa, rows), U32(0))
         return locs, pat_ids, valid
     locs = walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
                      stream_tbl=stream_tbl, use_stream=use_stream)
