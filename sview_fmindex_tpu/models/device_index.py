@@ -197,11 +197,14 @@ class DeviceFmIndex:
         )
 
     # ------------------------------------------------------------------
-    # Exactly TWO jit programs serve every query (the axon TPU runtime
-    # pays a first-call cost per executable proportional to the index
-    # bytes, so fewer executables = cheaper warmup): _ranges_jit
-    # (backward search -> [lo, hi), counts = hi - lo) and _locate_jit
-    # (the full pattern -> locations pipeline in one program).
+    # Exactly TWO jit programs serve every query: _ranges_jit (backward
+    # search -> [lo, hi), counts = hi - lo; shared by count and locate)
+    # and _resolve_jit (range expansion + row resolution).  Keeping them
+    # SEPARATE is a measured decision: fusing search+resolve into one
+    # XLA program produced wildly unstable schedules on TPU (the same
+    # resolve work cost 34 ms in one compiled composition and 495 ms in
+    # another — see DESIGN.md perf notes); two dispatches cost ~100 us
+    # and make each phase's cost predictable.
 
     # streaming sort-join engages above this batch size (per-step query
     # count = 2B; below it the fixed sort+stream cost beats nothing)
@@ -231,28 +234,35 @@ class DeviceFmIndex:
                use_stream: bool | None = None):
         """Returns (locations uint32 [capacity], pattern_ids int32, valid bool).
 
-        ``capacity`` is the static output budget; when None it is sized from
-        the counts (rounded up to a power of two to bound recompiles).
-        Passing an explicit capacity keeps the whole query in ONE executable.
+        Slot ``p < B`` is pattern p's first occurrence; slots ``B..`` hold
+        the overflow (see ``ops.locate.expand_ranges``).  ``capacity`` is
+        the static output budget (must be >= B); when None it is sized from
+        the counts (overflow rounded to a power of two to bound recompiles).
         """
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
+        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
         if capacity is None:
-            lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
-            total = int(jnp.sum(hi - lo))
-            capacity = max(1 << max(total - 1, 1).bit_length(), 64)
-        locs, pids, valid, _, _ = _locate_jit(self, patterns, lens, steps,
-                                              capacity, stream, facts)
+            capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
+        locs, pids, valid = _resolve_jit(self, lo, hi, capacity, stream)
         return locs, pids, valid
 
-    def locate_with_counts(self, patterns, lens=None, capacity: int = 1024,
+    def locate_with_counts(self, patterns, lens=None, capacity: int | None = None,
                            use_stream: bool | None = None):
-        """One-executable variant: (locs, pids, valid, counts)."""
+        """(locs, pids, valid, counts) — two dispatches, zero host sync when
+        ``capacity`` is given."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
-        locs, pids, valid, lo, hi = _locate_jit(self, patterns, lens, steps,
-                                                capacity, stream, facts)
+        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
+        if capacity is None:
+            capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
+        locs, pids, valid = _resolve_jit(self, lo, hi, capacity, stream)
         return locs, pids, valid, hi - lo
+
+    def resolve_rows(self, lo, hi, capacity: int, use_stream: bool = False):
+        """Expand [lo, hi) ranges and resolve rows to locations (the second
+        locate executable, exposed for phase benchmarking)."""
+        return _resolve_jit(self, lo, hi, capacity, use_stream)
 
 
 def _as_batch(meta, patterns, lens):
@@ -291,20 +301,11 @@ def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _locate_jit(idx: DeviceFmIndex, patterns, lens, steps: int, capacity: int,
-                use_stream: bool = False, facts=(False, None)):
-    """Full pipeline in one program: search + expand + walk."""
-    all_dense, fixed_len = facts
-    sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
-    lo, hi = search_ops.pos_ranges(
-        idx.meta, idx.fused, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
-        idx.count_arr, idx.sentinel, sym, lens, steps,
-        stream_tbl=idx.stream_tbl, use_stream=use_stream,
-        all_dense=all_dense, fixed_len=fixed_len,
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _resolve_jit(idx: DeviceFmIndex, lo, hi, capacity: int,
+                 use_stream: bool = False):
+    """Second locate executable: expand ranges + resolve rows."""
+    return locate_ops.locate_rows(
+        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi,
+        capacity, stream_tbl=idx.stream_tbl, use_stream=use_stream,
     )
-    locs, pids, valid = locate_ops.locate_rows(
-        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi, capacity,
-        stream_tbl=idx.stream_tbl, use_stream=use_stream,
-    )
-    return locs, pids, valid, lo, hi

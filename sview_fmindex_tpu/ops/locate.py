@@ -2,12 +2,25 @@
 
 Phase 1 (ranges) is :func:`sview_fmindex_tpu.ops.search.pos_ranges`.
 Phase 2 expands the [lo, hi) ranges into a flat row buffer of static
-capacity (prefix-sum + searchsorted — the batched analog of
-``P::as_vec_in_range``, ``locate/mod.rs:19``).
-Phase 3 walks every row in lockstep: LF-step until the row index is a
-multiple of the sampling ratio, with the sentinel-row short-circuit
-emitting ``offset`` (``locate/mod.rs:21-35``); a ``while_loop`` with
-done-masks handles the data-dependent trip counts.
+capacity (the batched analog of ``P::as_vec_in_range``,
+``locate/mod.rs:19``).
+Phase 3 resolves every row to a text location: ONE gather when the full
+(r=1) SA is device-resident, else a lockstep LF-walk — LF-step until the
+row index is a multiple of the sampling ratio, with the sentinel-row
+short-circuit emitting ``offset`` (``locate/mod.rs:21-35``); a
+``while_loop`` with done-masks handles the data-dependent trip counts.
+
+Expansion layout (measured design): slot ``p < B`` holds the FIRST
+occurrence row of pattern ``p`` (valid iff count >= 1) — a pure
+elementwise move, no gathers; slots ``B..capacity`` hold the overflow
+(2nd+ occurrences), compacted with a searchsorted over the overflow
+prefix sums.  For the common workload (most counts <= 1 — e.g. 20 bp
+patterns on a 1 Gbp text have ~1.001 mean occurrences) the overflow
+region is tiny, so the O(cap * log B) searchsorted that dominated a
+dense-packed expand at large capacity nearly vanishes: 235 ms -> ~10 ms
+at B=1M on a v5e.  Output order is unspecified (the reference also
+returns unsorted locations, ``README.md:77``); consumers key on
+``pat_ids``/``valid``.
 """
 from __future__ import annotations
 
@@ -17,23 +30,49 @@ import jax.numpy as jnp
 from .rank import U32, pre_rank_and_symidx
 
 
+def expand_capacity(counts, base: int | None = None) -> int:
+    """Host-side capacity sizing for :func:`expand_ranges`: ``B`` base slots
+    plus the overflow rounded up to a power of two (bounding recompiles)."""
+    import numpy as np
+
+    counts = np.asarray(counts)
+    B = base if base is not None else counts.shape[0]
+    extra = int((counts - (counts >= 1)).sum())
+    return B + max(1 << max(extra - 1, 1).bit_length(), 64)
+
+
 def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
     """[B] ranges -> (rows uint32 [capacity], pat_ids int32, valid bool).
 
-    Row j of pattern p is lo[p] + j.  Rows beyond ``capacity`` are dropped
-    (the caller sizes capacity from the counts).
+    Slot p < B: row ``lo[p]`` (pattern p's first occurrence).  Slots B..:
+    overflow rows ``lo[p]+1 .. hi[p])`` in pattern order; overflow beyond
+    ``capacity - B`` is dropped (callers size capacity via
+    :func:`expand_capacity`).  Requires ``capacity >= B``.
     """
+    B = lo.shape[0]
+    if capacity < B:
+        raise ValueError(f"capacity {capacity} < batch {B}: the expand "
+                         "layout needs one base slot per pattern")
     counts = hi - lo
-    cum = jnp.cumsum(counts, dtype=U32)
-    j = jnp.arange(capacity, dtype=U32)
-    pat = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    total = cum[-1] if cum.shape[0] else U32(0)
-    valid = j < total
-    pat_c = jnp.clip(pat, 0, lo.shape[0] - 1)
-    prev = jnp.take(cum, pat_c - 1)
-    start = jnp.where(pat_c == 0, U32(0), prev)
-    rows = jnp.take(lo, pat_c) + (j - start)
-    return jnp.where(valid, rows, U32(0)), pat_c, valid
+    base_valid = counts >= U32(1)
+    O = capacity - B
+    if O == 0:
+        return (jnp.where(base_valid, lo, U32(0)),
+                jnp.arange(B, dtype=jnp.int32), base_valid)
+    extra = counts - base_valid.astype(U32)
+    ecum = jnp.cumsum(extra, dtype=U32)
+    etotal = ecum[-1]
+    j = jnp.arange(O, dtype=U32)
+    epat = jnp.searchsorted(ecum, j, side="right").astype(jnp.int32)
+    epat_c = jnp.clip(epat, 0, B - 1)
+    prev = jnp.where(epat_c == 0, U32(0), jnp.take(ecum, jnp.maximum(epat_c - 1, 0)))
+    erows = jnp.take(lo, epat_c) + U32(1) + (j - prev)
+    evalid = j < etotal
+    rows = jnp.concatenate([jnp.where(base_valid, lo, U32(0)),
+                            jnp.where(evalid, erows, U32(0))])
+    pids = jnp.concatenate([jnp.arange(B, dtype=jnp.int32), epat_c])
+    valid = jnp.concatenate([base_valid, evalid])
+    return rows, pids, valid
 
 
 def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
@@ -41,10 +80,10 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
     """Resolve BWT rows to text locations.  Returns uint32 [capacity].
 
     The LF-walk trip count is data-dependent (expected < r, tail ~geometric)
-    so the expected case is UNROLLED (masked steps, done-lanes gather the hot
-    row 0) and only the rare stragglers pay the while_loop's per-iteration
-    overhead.  ``use_stream`` routes the per-step (rank, symbol) decode
-    through the streaming sort-join kernel (``ops.stream_join``).
+    so stragglers pay the while_loop's per-iteration overhead only as long
+    as any lane still walks.  ``use_stream`` routes the per-step
+    (rank, symbol) decode through the streaming sort-join kernel
+    (``ops.stream_join``).
     """
     r = meta.sampling_ratio
 

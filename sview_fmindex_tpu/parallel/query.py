@@ -119,8 +119,9 @@ class ShardedFmIndex:
             counts = np.asarray(hi) - np.asarray(lo)
             counts[b:] = 0  # padding lanes contribute nothing
             per_shard = patterns.shape[0] // self.n_devices
-            worst = int(counts.reshape(self.n_devices, per_shard).sum(axis=1).max())
-            capacity_per_shard = max(1 << max(worst - 1, 1).bit_length(), 64)
+            capacity_per_shard = max(
+                locate_ops.expand_capacity(c, base=per_shard)
+                for c in counts.reshape(self.n_devices, per_shard))
         locs, pids, valid = _walk_sharded(
             self.index, lo, hi, self.mesh, self.axis, capacity_per_shard, stream
         )
