@@ -1,0 +1,223 @@
+"""Benchmark sweep driver — CSV parity with the reference's run_benchmark.sh.
+
+Mirrors ``/root/reference/bench/run_benchmark.sh:37-139``: sweeps
+{10, 1_000, 100_000} patterns x cold {1%, 10%, 100%} x algorithms, emitting
+the reference CSV schema
+
+    pattern_count,cold_ratio,algorithm,total_ns,load_percent,max_rss_kb
+
+Algorithms (reference: lt-fm-index / sview-memory / sview-mmap):
+- ``memory``  blob fully read into RAM (``fs::read`` analog), host engine
+- ``mmap``    np.memmap blob (page-fault on demand), host engine
+- ``device``  blob + derived caches uploaded to the TPU, batched engine
+
+Each cell runs in a FRESH subprocess (like each reference run) so
+``max_rss_kb`` (``/usr/bin/time -v`` analog via resource.getrusage) and the
+load/query split are per-cell honest.  ``total_ns`` is end-to-end inside the
+cell: blob load (+ device upload/warmup for ``device``) + query + result
+write, matching the reference's "Elapsed" column.  Page cache is dropped
+before each mmap cell when permitted (``echo 3 > /proc/sys/vm/drop_caches``,
+``run_benchmark.sh:92-97``); the driver records whether the drop succeeded.
+
+Usage:
+  python run_benchmark.py --text-size 1e9 --out RUNBENCH.csv
+  python run_benchmark.py --algorithms device --patterns 100000 --colds 1.0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", os.path.join(REPO, "bench_cache"))
+SEED = 42
+PATTERN_LEN = 20
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def text_path(text_size: int) -> str:
+    return os.path.join(CACHE_DIR, f"text_{text_size}_{SEED}.bin")
+
+
+def blob_path(text_size: int) -> str:
+    return os.path.join(CACHE_DIR, f"index_{text_size}_{SEED}_b3u64_r2_k3.blob")
+
+
+def ensure_inputs(text_size: int) -> None:
+    os.environ["BENCH_TEXT_SIZE"] = str(text_size)
+    sys.path.insert(0, REPO)
+    import bench
+
+    bench.TEXT_SIZE = text_size
+    text = bench.get_text()
+    bench.get_blob(text)
+
+
+def gen_patterns(text_size: int, count: int, cold_ratio: float, seed: int):
+    """Reference semantics (bench/src/generate.rs:56-144): cold = fresh
+    substrings of the text, warm = cyclic repeats of the cold set."""
+    text = np.memmap(text_path(text_size), dtype=np.uint8, mode="r")
+    rng = np.random.default_rng(seed)
+    cold_count = min(int(np.ceil(cold_ratio * count)), count)
+    starts = rng.integers(0, text_size - PATTERN_LEN + 1, size=cold_count)
+    cold = text[np.asarray(starts)[:, None] + np.arange(PATTERN_LEN)]
+    if count > cold_count:
+        reps = -(-count // cold_count)
+        pats = np.tile(cold, (reps, 1))[:count]
+    else:
+        pats = cold
+    return pats
+
+
+def drop_caches() -> bool:
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# cell runner (subprocess entry)
+# ---------------------------------------------------------------------------
+
+def run_cell(args) -> None:
+    import resource
+
+    text_size = int(float(args.text_size))
+    pats = gen_patterns(text_size, int(args.patterns), float(args.cold), SEED + 1)
+    out_path = os.path.join(CACHE_DIR, f"results_{args.algorithm}.txt")
+    t_all = time.perf_counter_ns()
+
+    if args.algorithm == "device":
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.join(CACHE_DIR, "xla_cache"))
+        import threading
+
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE_DIR, "xla_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        warm = threading.Thread(target=lambda: jax.jit(lambda x: x + 1)(
+            np.arange(8, dtype=np.int32)).block_until_ready(), daemon=True)
+        warm.start()
+
+    from sview_fmindex_tpu import BLOCK3_U64, FmIndex
+
+    load_start = time.perf_counter_ns()
+    if args.algorithm == "mmap":
+        blob = np.memmap(blob_path(text_size), dtype=np.uint8, mode="r")
+    else:
+        blob = np.fromfile(blob_path(text_size), dtype=np.uint8)
+    fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64, encoder_kind="table")
+    if args.algorithm == "device":
+        sa_full = os.path.join(CACHE_DIR, f"sa_full_{text_size}_{SEED}.u32")
+        dev = fm.to_device(
+            dense_lut_entries=1 << 26,
+            dense_lut_cache=os.path.join(CACHE_DIR, f"dense_lut_{text_size}_{SEED}.npz"),
+            sa_full=sa_full if os.path.exists(sa_full) else None)
+        warm.join()
+        # warmup executables on a 2-row slice so load_ns covers compile+init
+        dev.count(pats[:2])
+        load_ns = time.perf_counter_ns() - load_start
+        q_start = time.perf_counter_ns()
+        from sview_fmindex_tpu.ops.locate import expand_capacity
+
+        counts = np.asarray(dev.count(pats))
+        locs, pids, valid, _ = dev.locate_with_counts(
+            pats, capacity=expand_capacity(counts))
+        locs, pids, valid = map(np.asarray, (locs, pids, valid))
+        with open(out_path, "w") as f:
+            order = np.argsort(pids[valid], kind="stable")
+            f.write("\n".join(map(str, locs[valid][order])))
+        query_ns = time.perf_counter_ns() - q_start
+    else:
+        load_ns = time.perf_counter_ns() - load_start
+        q_start = time.perf_counter_ns()
+        with open(out_path, "w") as f:
+            for p in pats:
+                f.write(",".join(map(str, fm.locate(p.tobytes()))) + "\n")
+        query_ns = time.perf_counter_ns() - q_start
+
+    total_ns = time.perf_counter_ns() - t_all
+    rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(json.dumps({"total_ns": total_ns, "load_ns": load_ns,
+                      "query_ns": query_ns, "max_rss_kb": rss_kb}))
+
+
+# ---------------------------------------------------------------------------
+# sweep driver
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--text-size", default="1e9")
+    ap.add_argument("--patterns", default=None,
+                    help="comma list; default 10,1000,100000")
+    ap.add_argument("--colds", default=None, help="comma list; default 0.01,0.1,1.0")
+    ap.add_argument("--algorithms", default="memory,mmap,device")
+    ap.add_argument("--out", default="RUNBENCH.csv")
+    ap.add_argument("--no-drop-caches", action="store_true")
+    ap.add_argument("--cell", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cold", default="1.0", help=argparse.SUPPRESS)
+    ap.add_argument("--algorithm", default="memory", help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+
+    if args.cell:
+        run_cell(args)
+        return
+
+    text_size = int(float(args.text_size))
+    patterns = [int(float(p)) for p in (args.patterns or "10,1000,100000").split(",")]
+    colds = [float(c) for c in (args.colds or "0.01,0.1,1.0").split(",")]
+    algorithms = args.algorithms.split(",")
+
+    log(f"[sweep] ensuring text+blob for {text_size} bp")
+    ensure_inputs(text_size)
+
+    rows = []
+    for count in patterns:
+        for cold in colds:
+            for algo in algorithms:
+                dropped = False
+                if algo == "mmap" and not args.no_drop_caches:
+                    dropped = drop_caches()
+                cmd = [sys.executable, os.path.abspath(__file__), "--cell",
+                       "--text-size", str(text_size), "--patterns", str(count),
+                       "--cold", str(cold), "--algorithm", algo]
+                t0 = time.time()
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      cwd=REPO)
+                if proc.returncode != 0:
+                    log(f"[sweep] FAIL {count}/{cold}/{algo}: {proc.stderr[-500:]}")
+                    continue
+                cell = json.loads(proc.stdout.strip().splitlines()[-1])
+                load_pct = 100 * cell["load_ns"] // max(cell["total_ns"], 1)
+                rows.append((count, cold, algo, cell["total_ns"], load_pct,
+                             cell["max_rss_kb"]))
+                log(f"[sweep] {count:>7} cold={cold:<5} {algo:<7} "
+                    f"total={cell['total_ns']/1e9:8.2f}s load={load_pct:2d}% "
+                    f"rss={cell['max_rss_kb']/1024:7.0f}MB "
+                    f"(wall {time.time()-t0:.0f}s, dropped_caches={dropped})")
+
+    with open(args.out, "w") as f:
+        f.write("pattern_count,cold_ratio,algorithm,total_ns,load_percent,max_rss_kb\n")
+        for r in rows:
+            f.write(",".join(map(str, r)) + "\n")
+    log(f"[sweep] wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,8 +114,7 @@ def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
 # the join kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
-                 skip_groups: bool = False):
+def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
     """Grid over table tiles; walks sorted query chunks with a persistent
     SMEM cursor.  ``decode=False``: rank_next(pos, sym).  ``decode=True``:
     (rank, symidx) at pos (the locate-walk primitive).
@@ -129,7 +128,7 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
     n_groups = T // 128
 
     def kernel(pos_hbm, meta_hbm, tile_ref, out_hbm, out2_hbm,
-               smem, pos_buf, meta_buf, out_buf, out2_buf, acc_buf,
+               smem, pos_buf, meta_buf, out_buf, out2_buf,
                in_sems, out_sems):
         t = pl.program_id(0)
         win_lo = t * T
@@ -159,24 +158,16 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
                 local = jnp.where(mine, blk - win_lo, 0)         # [1,128]
                 grp = local >> 7
                 lane = jnp.broadcast_to(local & 127, (RW, 128))
-                if skip_groups:
-                    # empty-group skipping: for dense sorted batches a
-                    # 128-query sub-chunk spans only a few 128-block groups
-                    acc_buf[:] = jnp.zeros((RW, 128), jnp.int32)
-                    for g in range(n_groups):
-                        @pl.when(jnp.any(grp == g))
-                        def _(g=g):
-                            part = jnp.take_along_axis(
-                                tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
-                            acc_buf[:] = jnp.where(grp == g, part, acc_buf[:])
-                    words = acc_buf[:].astype(jnp.uint32)        # [RW,128]
-                else:
-                    acc = jnp.zeros((RW, 128), jnp.int32)
-                    for g in range(n_groups):
-                        part = jnp.take_along_axis(
-                            tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
-                        acc = jnp.where(grp == g, part, acc)
-                    words = acc.astype(jnp.uint32)               # [RW,128]
+                # NB: guarding each group with @pl.when(any(grp == g)) to
+                # skip empty groups was measured 4x SLOWER on v5e (171 vs
+                # 41 ns/q at N=200k) — the predicated control flow costs
+                # more than the unconditional takes it avoids.
+                acc = jnp.zeros((RW, 128), jnp.int32)
+                for g in range(n_groups):
+                    part = jnp.take_along_axis(
+                        tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
+                    acc = jnp.where(grp == g, part, acc)
+                words = acc.astype(jnp.uint32)                   # [RW,128]
 
                 rem = (pos_row & U32(SBL - 1)).astype(jnp.int32)  # [1,128]
 
@@ -265,9 +256,8 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
 
 @functools.lru_cache(maxsize=64)
 def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
-             decode: bool, interpret: bool, skip_groups: bool = False):
-    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode,
-                              skip_groups=skip_groups)
+             decode: bool, interpret: bool):
+    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -286,7 +276,6 @@ def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
             pltpu.VMEM((C // 128, 128), jnp.int32),
             pltpu.VMEM((C // 128, 128), jnp.uint32),
             pltpu.VMEM((C // 128, 128), jnp.int32),
-            pltpu.VMEM((RW, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -324,8 +313,7 @@ def _pad_len(n: int, C: int) -> int:
 
 def rank_next_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
                      pos: jax.Array, sym: jax.Array,
-                     T: int = 2048, C: int = 1024,
-                     skip_groups: bool = False) -> jax.Array:
+                     T: int = 2048, C: int = 1024) -> jax.Array:
     """Batched ``get_next_rank`` via sort-join.  pos u32 [N], sym i32 [N]
     (sym must be < 64).  Bit-exact vs ``ops.rank.rank_next``."""
     n = pos.shape[0]
@@ -341,8 +329,7 @@ def rank_next_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
     sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
     sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
 
-    join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False, _use_interpret(),
-                    skip_groups=skip_groups)
+    join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False, _use_interpret())
     ranks, _ = join(sp, sm, table_i32)
     _, unsorted = jax.lax.sort((sm, ranks), num_keys=1)
     return unsorted[:n]
