@@ -86,12 +86,12 @@ def build_index(text_size: int, seed: int, cache_dir: str | None):
         blob = np.fromfile(blob_path, np.uint8)
         build_s = 0.0
     else:
-        blob = builder.build(text.tobytes(), sa_full_path=sa_path)
+        blob = np.frombuffer(
+            bytes(builder.build(text.tobytes(), sa_full_path=sa_path)), np.uint8)
         build_s = time.perf_counter() - t0
         if blob_path:
-            blob.tofile(blob_path) if hasattr(blob, "tofile") else open(
-                blob_path, "wb").write(bytes(blob))
-    fm = FmIndex.load(np.asarray(blob), position="u32", block=BLOCK3_U64,
+            blob.tofile(blob_path)
+    fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64,
                       encoder_kind="table")
     sa_full = np.fromfile(sa_path, "<u4") if sa_path else None
     return text, fm, sa_full, build_s
@@ -120,8 +120,13 @@ def main(argv=None) -> None:
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the locate group")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container sitecustomize "
+                         "presets JAX_PLATFORMS=axon, so env vars are too late)")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     text_size = int(args.text_size or (1e8 if on_tpu else 1e6))
     batches = [int(float(b)) for b in (
