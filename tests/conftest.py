@@ -3,14 +3,27 @@
 The container's sitecustomize registers the axon TPU backend and presets
 JAX_PLATFORMS=axon before pytest starts, so plain env setdefault is too
 late; override the jax config after import instead.
+
+Set ``SVIEW_TEST_TPU=1`` to keep the real TPU backend — this enables the
+``@pytest.mark.tpu`` tests (Mosaic-compiled stream kernel parity) and skips
+nothing else; without a TPU those tests self-skip.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import pytest  # noqa: F401
 
-import jax  # noqa: E402
+if os.environ.get("SVIEW_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs the Mosaic-compiled path; needs a real TPU "
+        "(SVIEW_TEST_TPU=1) or self-skips")

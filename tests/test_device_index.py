@@ -244,3 +244,71 @@ def test_sa_full_locate_path(tmp_path):
     assert walk == full
     for i, p in enumerate(patterns):
         assert full.get(i, []) == sorted(fm.locate(p)), (i, p)
+
+
+def test_device_u64_position_blob():
+    """u64-position blobs upload and query fine while text_len < 2^32
+    (positions are re-packed to uint32 device lanes; text_length.rs:87-129
+    makes u64 a first-class Position in the reference)."""
+    rng = random.Random(21)
+    symbols = gen_rand_symbols(rng, 5)
+    text = gen_rand_text(rng, symbols, 400, 700)
+    fm = _build(text, symbols, BlockKind(3, 64), 2, 2, position="u64")
+    dev = fm.to_device()
+
+    patterns = [gen_rand_pattern(rng, text, 1, 10) for _ in range(30)]
+    batch, lens = pack_patterns(patterns)
+    counts = np.asarray(dev.count(batch, lens))
+    for i, p in enumerate(patterns):
+        assert counts[i] == fm.count(p), (i, p)
+    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    got = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(p), []).append(int(l))
+    for i, p in enumerate(patterns):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
+
+
+def test_device_refuses_text_ge_2_32():
+    """Texts >= 2^32 are host-only today: the device engine raises a typed
+    BuildError (u64 two-lane emulation is documented as the range-sharding
+    follow-up in DESIGN.md, not silently wrong results)."""
+    import copy
+
+    from sview_fmindex_tpu.config import BuildError
+
+    rng = random.Random(22)
+    symbols = gen_rand_symbols(rng, 4)
+    text = gen_rand_text(rng, symbols, 200, 300)
+    fm = _build(text, symbols, BlockKind(2, 64), 2, 2, position="u64")
+    fm_big = copy.copy(fm)
+    fm_big.text_len = 2**32
+    with pytest.raises(BuildError, match="2\\^32"):
+        fm_big.to_device()
+
+
+def test_device_block6_wide_alphabet():
+    """sigma > 32 (Block6 territory, 6 bit planes) on the device engine,
+    including the streaming path's 6-bit symbol payload limit."""
+    rng = random.Random(23)
+    symbols = gen_rand_symbols(rng, 40)
+    text = gen_rand_text(rng, symbols, 600, 900)
+    fm = _build(text, symbols, BlockKind(6, 64), 2, 2)
+    dev = fm.to_device()
+    assert dev.meta.sigma == 40 and dev.meta.num_planes == 6
+    assert dev.meta.stream_rows > 0  # sigma <= 63 keeps streaming available
+
+    patterns = [gen_rand_pattern(rng, text, 1, 8) for _ in range(30)]
+    batch, lens = pack_patterns(patterns)
+    for us in (False, True):
+        counts = np.asarray(dev.count(batch, lens, use_stream=us))
+        for i, p in enumerate(patterns):
+            assert counts[i] == fm.count(p), (us, i, p)
+    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    got = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(p), []).append(int(l))
+    for i, p in enumerate(patterns):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)

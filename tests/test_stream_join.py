@@ -116,3 +116,29 @@ def test_streaming_toggle_invariance():
     l1 = dev.locate(batch, lens, capacity=512, use_stream=True)
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.tpu
+def test_stream_kernel_compiled_on_tpu():
+    """Mosaic-COMPILED kernel parity vs the gather engine (the default test
+    run covers only interpret mode; this runs when SVIEW_TEST_TPU=1 and a
+    real TPU is attached, and self-skips otherwise)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU attached")
+    fm, text, rng = _index(n=60_000, seed=9)
+    dev = fm.to_device(dense_lut_entries=0)
+    B = 4096
+    starts = rng.integers(0, len(text) - 12, size=B)
+    batch = np.stack([np.frombuffer(text[s : s + 12], np.uint8) for s in starts])
+    lens = np.full(B, 12, np.int32)
+
+    c_gather = np.asarray(dev.count(batch, lens, use_stream=False))
+    c_stream = np.asarray(dev.count(batch, lens, use_stream=True))
+    np.testing.assert_array_equal(c_gather, c_stream)
+
+    l0 = dev.locate(batch, lens, capacity=2 * B, use_stream=False)
+    l1 = dev.locate(batch, lens, capacity=2 * B, use_stream=True)
+    for a, b in zip(l0, l1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
