@@ -62,12 +62,14 @@ def run_scaling(text_len: int, pattern_count: int, pattern_len: int = 20,
     for n in mesh_sizes:
         mesh = make_mesh(n_devices=n)
         sharded = ShardedFmIndex(dev, mesh=mesh)
-        counts = np.asarray(sharded.count(patterns, lens))  # warmup + check
+        # pin ONE engine across mesh sizes: the auto heuristic would switch
+        # stream->gather as per-shard batch shrinks and corrupt the curve
+        counts = np.asarray(sharded.count(patterns, lens, use_stream=False))
         assert (counts >= 1).all()
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            c = sharded.count(patterns, lens)
+            c = sharded.count(patterns, lens, use_stream=False)
             float(np.asarray(c).sum())  # force materialization
         qps = reps * pattern_count / (time.time() - t0)
         if base_qps is None:
