@@ -148,7 +148,7 @@ def main() -> None:
     lut_cache = os.path.join(CACHE_DIR, f"dense_lut_{TEXT_SIZE}_{SEED}.npz")
     sa_full = sa_full_path() if os.path.exists(sa_full_path()) else None
     dev = fm.to_device(dense_lut_entries=1 << 26, dense_lut_cache=lut_cache,
-                       sa_full=sa_full)
+                       sa_full=sa_full, derived_cache_dir=CACHE_DIR)
     upload_s = time.time() - t0
     log(f"[bench] device upload (dense_k={dev.meta.dense_k}, "
         f"sa_full={dev.meta.has_sa_full}): {upload_s:.2f}s")

@@ -127,7 +127,8 @@ def run_cell(args) -> None:
         dev = fm.to_device(
             dense_lut_entries=1 << 26,
             dense_lut_cache=os.path.join(CACHE_DIR, f"dense_lut_{text_size}_{SEED}.npz"),
-            sa_full=sa_full if os.path.exists(sa_full) else None)
+            sa_full=sa_full if os.path.exists(sa_full) else None,
+            derived_cache_dir=CACHE_DIR)
         warm.join()
         # warmup executables on a 2-row slice so load_ns covers compile+init
         dev.count(pats[:2])

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,8 @@ class DeviceFmIndex:
     def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
                   dense_lut_cache: str | None = None,
                   stream: bool = True, stream_tile: int | None = None,
-                  sa_full: "np.ndarray | str | None" = None) -> "DeviceFmIndex":
+                  sa_full: "np.ndarray | str | None" = None,
+                  derived_cache_dir: str | None = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
         ``dense_lut_entries`` bounds the optional dense seed table
@@ -87,6 +89,13 @@ class DeviceFmIndex:
         the sampled SA on device and locate resolves rows with ONE gather
         instead of the LF walk (results are bit-identical; this is the same
         memoization move as the dense LUT — config invariance semantics).
+
+        ``derived_cache_dir``: directory for raw .npy caches of the derived
+        device tables (fused gather table, stream-join table) so repeated
+        uploads of the same blob skip the host-side derivation passes
+        (unpackbits/packbits over GBs at Gbp scale).  Cache keys embed a
+        content digest of the blob's SA/count sections — a cache from a
+        different text can never be served.
         """
         kind = fm.block
         if fm.text_len >= 2**32:
@@ -108,12 +117,41 @@ class DeviceFmIndex:
                     "sa_full does not match the blob's sampled suffix array "
                     "(stale or mismatched sa_full cache)")
 
+        # content digest guarding the derived caches (ADVICE: a stale cache
+        # from a different text of the same length must never be served)
+        digest = None
+        if derived_cache_dir is not None:
+            import hashlib
+
+            os.makedirs(derived_cache_dir, exist_ok=True)
+            h = hashlib.sha1()
+            h.update(np.ascontiguousarray(fm.suffix_array[:65536]).tobytes())
+            h.update(np.ascontiguousarray(fm.count_array).tobytes())
+            h.update(str((fm.text_len, fm.sentinel_index, kind.num_planes,
+                          kind.num_lanes, fm.sampling_ratio)).encode())
+            digest = h.hexdigest()[:16]
+
+        def _cached(name: str, builder_fn):
+            if digest is None:
+                return builder_fn()
+            path = os.path.join(derived_cache_dir, f"{name}_{digest}.npy")
+            if os.path.exists(path):
+                return np.load(path, mmap_mode="r")
+            arr = builder_fn()
+            np.save(path, arr)
+            return arr
+
         n_blocks = fm.rank_checkpoints.shape[0]
         sigma = fm.symbol_count
         width = sigma + kind.num_planes * kind.num_lanes
-        fused = np.empty((n_blocks, width), dtype=np.uint32)
-        fused[:, :sigma] = fm.rank_checkpoints.astype(np.uint32)
-        fused[:, sigma:] = np.ascontiguousarray(fm.lanes).reshape(n_blocks, -1)
+
+        def _build_fused():
+            fused = np.empty((n_blocks, width), dtype=np.uint32)
+            fused[:, :sigma] = fm.rank_checkpoints.astype(np.uint32)
+            fused[:, sigma:] = np.ascontiguousarray(fm.lanes).reshape(n_blocks, -1)
+            return fused
+
+        fused = _cached("fused", _build_fused)
 
         # int32, not uint8: gathers from sub-word tables hang the TPU
         # compiler (axon); a 1 KiB table costs nothing widened.
@@ -156,10 +194,12 @@ class DeviceFmIndex:
         if stream_tile is None:
             stream_tile = IndexMeta.stream_tile
         if stream and sigma <= 63:
-            bwt = stream_join.bwt_from_planes(
-                np.ascontiguousarray(fm.lanes), kind.num_planes, fm.text_len)
-            s_tbl = stream_join.build_stream_table(sigma, bwt, stream_tile)
-            del bwt
+            def _build_stream():
+                bwt = stream_join.bwt_from_planes(
+                    np.ascontiguousarray(fm.lanes), kind.num_planes, fm.text_len)
+                return stream_join.build_stream_table(sigma, bwt, stream_tile)
+
+            s_tbl = _cached(f"stream{stream_tile}", _build_stream)
         else:
             s_tbl = np.zeros((stream_join._rw(sigma), stream_tile), np.int32)
 

@@ -145,19 +145,23 @@ class FmIndex:
     def blob(self) -> np.ndarray:
         return self._blob
 
-    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 26,
+    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
                   dense_lut_cache: str | None = None, sa_full=None,
-                  stream: bool = True):
+                  stream: bool = True, stream_tile: int | None = None,
+                  derived_cache_dir: str | None = None):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries.
 
         ``sa_full``: optional full (r=1) suffix array (uint32 array or raw
-        file path) — see ``DeviceFmIndex.from_host``.
+        file path); ``derived_cache_dir``: persist the derived device
+        tables (fused, stream) across processes — see
+        ``DeviceFmIndex.from_host``.
         """
         from .device_index import DeviceFmIndex
 
         return DeviceFmIndex.from_host(
             self, device=device, dense_lut_entries=dense_lut_entries,
             dense_lut_cache=dense_lut_cache, sa_full=sa_full, stream=stream,
+            stream_tile=stream_tile, derived_cache_dir=derived_cache_dir,
         )
 
     # ------------------------------------------------------------------

@@ -312,3 +312,29 @@ def test_device_block6_wide_alphabet():
             got.setdefault(int(p), []).append(int(l))
     for i, p in enumerate(patterns):
         assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
+
+
+def test_derived_cache_roundtrip_and_stale_guard(tmp_path):
+    """derived_cache_dir: second upload reuses the cached tables; a
+    DIFFERENT text of the same length gets its own digest, never a stale
+    serve."""
+    rng = random.Random(31)
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    texts = [gen_rand_text(rng, symbols, 500, 500) for _ in range(2)]
+    assert len(texts[0]) == len(texts[1]) and texts[0] != texts[1]
+    cache = str(tmp_path)
+    pats = None
+    for text in texts:
+        fm = _build(text, symbols, BlockKind(3, 64), 2, 2)
+        dev1 = fm.to_device(derived_cache_dir=cache)
+        dev2 = fm.to_device(derived_cache_dir=cache)  # cache hit
+        np.testing.assert_array_equal(np.asarray(dev1.fused), np.asarray(dev2.fused))
+        patterns = [gen_rand_pattern(rng, text, 2, 8) for _ in range(20)]
+        batch, lens = pack_patterns(patterns)
+        counts = np.asarray(dev2.count(batch, lens))
+        for i, p in enumerate(patterns):
+            assert counts[i] == fm.count(p), (i, p)
+    # two texts -> two distinct fused caches on disk
+    import os
+    fused_files = [f for f in os.listdir(cache) if f.startswith("fused_")]
+    assert len(fused_files) == 2, fused_files
