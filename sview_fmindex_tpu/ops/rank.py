@@ -68,16 +68,22 @@ def _combine_planes(meta, planes: jax.Array, symidx: jax.Array) -> jax.Array:
     return out
 
 
-def rank_next(meta, fused: jax.Array, sentinel: jax.Array, pos: jax.Array, symidx: jax.Array) -> jax.Array:
-    """Batched ``get_next_rank(pos, symidx)``: occurrences of symidx in the
-    BWT strictly before (shifted) pos.  pos uint32 [...], symidx int32 [...]."""
-    q, rem = _split_pos(meta, sentinel, pos)
-    rows = jnp.take(fused, q, axis=0)
+def rank_from_rows(meta, rows: jax.Array, rem: jax.Array, symidx: jax.Array) -> jax.Array:
+    """Rank math given already-gathered fused rows [..., W] (used by the
+    range-sharded layer, where the row gather is a collective)."""
     ckpt = jnp.take_along_axis(rows, symidx[..., None], axis=-1)[..., 0]
     planes = _plane_lanes(meta, rows)
     combined = _combine_planes(meta, planes, symidx)
     cnt = jax.lax.population_count(combined & _lane_masks(meta, rem))
     return ckpt + jnp.sum(cnt, axis=-1, dtype=U32)
+
+
+def rank_next(meta, fused: jax.Array, sentinel: jax.Array, pos: jax.Array, symidx: jax.Array) -> jax.Array:
+    """Batched ``get_next_rank(pos, symidx)``: occurrences of symidx in the
+    BWT strictly before (shifted) pos.  pos uint32 [...], symidx int32 [...]."""
+    q, rem = _split_pos(meta, sentinel, pos)
+    rows = jnp.take(fused, q, axis=0)
+    return rank_from_rows(meta, rows, rem, symidx)
 
 
 def pre_rank_and_symidx(meta, fused: jax.Array, sentinel: jax.Array, pos: jax.Array):
@@ -90,6 +96,13 @@ def pre_rank_and_symidx(meta, fused: jax.Array, sentinel: jax.Array, pos: jax.Ar
     is_sentinel = pos == (sentinel - U32(1))
     q, rem = _split_pos(meta, sentinel, pos)
     rows = jnp.take(fused, q, axis=0)
+    rank, symidx = pre_rank_and_symidx_from_rows(meta, rows, rem)
+    return rank, symidx, is_sentinel
+
+
+def pre_rank_and_symidx_from_rows(meta, rows: jax.Array, rem: jax.Array):
+    """Decode + rank math given already-gathered fused rows (range-sharded
+    layer variant)."""
     planes = _plane_lanes(meta, rows)
 
     lane = (rem >> U32(5)).astype(jnp.int32)
@@ -107,4 +120,4 @@ def pre_rank_and_symidx(meta, fused: jax.Array, sentinel: jax.Array, pos: jax.Ar
     combined = _combine_planes(meta, planes, symidx)
     cnt = jax.lax.population_count(combined & _lane_masks(meta, rem))
     rank = ckpt + jnp.sum(cnt, axis=-1, dtype=U32)
-    return rank, symidx, is_sentinel
+    return rank, symidx

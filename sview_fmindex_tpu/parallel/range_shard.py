@@ -1,0 +1,256 @@
+"""Range-sharded index: the big tables split across devices by block range.
+
+Pattern-DP (``parallel/query.py``) replicates the whole index per device —
+the right call while it fits in HBM.  When it does NOT fit (at 1 Gbp the
+fused table + stream table + dense LUT + full SA already reach ~5.4 GB of a
+v5e's 16 GB; 4 Gbp cannot replicate), this layer shards the two
+text-length-proportional tables along their block/position dimension:
+
+- ``fused``   [n_blocks, W]  -> [n_blocks/D, W] per device
+- ``sa``      [n_sa]         -> [n_sa/D] per device (sampled or full)
+
+while the O(sigma^k) tables (k-mer LUT, dense seeds, count array, encoder)
+stay replicated.  A rank query's row gather becomes a collective:
+
+    every device gathers the rows it owns (masked local ``take``) and a
+    ``psum`` over the shard axis assembles the full row on every device
+    (each global row has exactly one owner, so the sum IS a select).
+
+The query batch is REPLICATED across the shard axis (each device runs the
+same lockstep search over its table slice) — compute duplicates D-fold but
+memory scales 1/D, which is the point of range sharding; compose with
+pattern-DP on a 2-D mesh to buy back compute.  The reference has no analog
+(single-process, SURVEY.md §2); this is the "optional: range-shard the
+occ/SA arrays" row of the parallelism inventory.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import locate as locate_ops
+from ..ops import search as search_ops
+from ..ops.rank import (
+    U32,
+    _split_pos,
+    pre_rank_and_symidx_from_rows,
+    rank_from_rows,
+)
+from .mesh import make_mesh
+
+RS_AXIS = "rs"
+
+
+def _owned_gather(axis: str, table_shard: jax.Array, idx: jax.Array) -> jax.Array:
+    """Collective row gather from a dim-0-sharded table.
+
+    ``idx`` (replicated, global row ids, uint32) -> rows, identical on
+    every device: mask-gather the locally owned rows, psum across the
+    axis (each row has exactly one owner, so the sum is a select).
+    All ownership math stays uint32 — safe for global ids >= 2^31.
+    """
+    n_local = U32(table_shard.shape[0])
+    shard = jax.lax.axis_index(axis).astype(jnp.uint32)
+    start = shard * n_local
+    idx = idx.astype(jnp.uint32)
+    mine = (idx >= start) & (idx - start < n_local)
+    local_c = jnp.where(mine, idx - start, U32(0))
+    vals = jnp.take(table_shard, local_c, axis=0)
+    mask = mine if vals.ndim == idx.ndim else mine[..., None]
+    vals = jnp.where(mask, vals, 0)
+    return jax.lax.psum(vals, axis)
+
+
+class RangeShardedFmIndex:
+    """A device-mesh FM-index whose fused/SA tables are range-sharded."""
+
+    def __init__(self, fm, mesh=None, axis: str = RS_AXIS,
+                 sa_full: "np.ndarray | str | None" = None):
+        self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
+        self.axis = axis
+        D = self.mesh.devices.size
+
+        # host-side assembly via the single-device path (staged on the CPU
+        # backend when available so nothing lands on a real chip twice)
+        import jax as _jax
+
+        try:
+            cpu = _jax.local_devices(backend="cpu")[0]
+        except Exception:
+            cpu = None
+        from ..models.device_index import DeviceFmIndex
+
+        local = DeviceFmIndex.from_host(fm, device=cpu, stream=False,
+                                        sa_full=sa_full)
+        self.meta = local.meta
+
+        def pad_to(x, mult):
+            n = x.shape[0]
+            pad = (-n) % mult
+            if pad:
+                x = np.concatenate([np.asarray(x),
+                                    np.zeros((pad, *x.shape[1:]), x.dtype)])
+            return np.asarray(x)
+
+        fused = pad_to(np.asarray(local.fused), D)
+        sa = pad_to(np.asarray(local.sa), D)
+        shard_spec = NamedSharding(self.mesh, P(axis, *([None] * (fused.ndim - 1))))
+        sa_spec = NamedSharding(self.mesh, P(axis))
+        repl = NamedSharding(self.mesh, P())
+        put = jax.device_put
+        self.fused = put(fused, shard_spec)
+        self.sa = put(sa, sa_spec)
+        self.kmer_tbl = put(np.asarray(local.kmer_tbl), repl)
+        self.dense_lo = put(np.asarray(local.dense_lo), repl)
+        self.dense_hi = put(np.asarray(local.dense_hi), repl)
+        self.count_arr = put(np.asarray(local.count_arr), repl)
+        self.sentinel = put(np.asarray(local.sentinel), repl)
+        self.enc_table = put(np.asarray(local.enc_table), repl)
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    # ------------------------------------------------------------------
+    def _args(self, patterns, lens):
+        patterns = np.asarray(patterns, dtype=np.uint8)
+        if patterns.ndim == 1:
+            patterns = patterns[None]
+        if lens is None:
+            lens = np.full(patterns.shape[0], patterns.shape[1], np.int32)
+        lens = np.asarray(lens, dtype=np.int32)
+        steps = search_ops.max_steps_needed(self.meta, lens, patterns.shape[1])
+        return patterns, lens, steps
+
+    def count(self, patterns, lens=None):
+        patterns, lens, steps = self._args(patterns, lens)
+        lo, hi = _rs_ranges(self, patterns, lens, steps)
+        return hi - lo
+
+    def pos_ranges(self, patterns, lens=None):
+        patterns, lens, steps = self._args(patterns, lens)
+        return _rs_ranges(self, patterns, lens, steps)
+
+    def locate(self, patterns, lens=None, capacity: int | None = None):
+        patterns, lens, steps = self._args(patterns, lens)
+        lo, hi = _rs_ranges(self, patterns, lens, steps)
+        if capacity is None:
+            capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
+        return _rs_resolve(self, lo, hi, capacity)
+
+
+def _rs_tree(idx: RangeShardedFmIndex):
+    return (idx.fused, idx.sa, idx.kmer_tbl, idx.dense_lo, idx.dense_hi,
+            idx.count_arr, idx.sentinel, idx.enc_table)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _rs_ranges_jit(meta, mesh_axis, tree, inputs, steps):
+    mesh, axis = mesh_axis
+    fused, sa, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel, enc_table = tree
+    patterns, lens = inputs
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def run(fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
+            enc_table, patterns, lens):
+        sym = search_ops.encode_patterns(enc_table, patterns, meta)
+        lo, hi, rem_steps, seed_len = search_ops.initial_range(
+            meta, kmer_tbl, dense_lo, dense_hi, sym, lens)
+        Lmax = sym.shape[-1]
+
+        def body(t, carry):
+            lo, hi = carry
+            active = (t < rem_steps) & (lo < hi)
+            j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
+            s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+            ends = jnp.stack([lo, hi])
+            ends_q = jnp.where(active[None, :], ends, U32(0))
+            q, rm = _split_pos(meta, sentinel, ends_q)
+            rows = _owned_gather(axis, fused, q.reshape(-1)).reshape(
+                *q.shape, fused.shape[-1])
+            s2 = jnp.broadcast_to(s, ends.shape)
+            ranks = rank_from_rows(meta, rows, rm, s2)
+            pre = jnp.take(count_arr, s)
+            nlo = pre + ranks[0]
+            nhi = pre + ranks[1]
+            return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+        if steps:
+            lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        return lo, hi
+
+    return run(fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
+               enc_table, patterns, lens)
+
+
+def _rs_ranges(idx, patterns, lens, steps):
+    return _rs_ranges_jit(idx.meta, (idx.mesh, idx.axis), _rs_tree(idx),
+                          (jnp.asarray(patterns), jnp.asarray(lens)), steps)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
+    mesh, axis = mesh_axis
+    fused, sa, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel, enc_table = tree
+    lo, hi = inputs
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def run(fused, sa, count_arr, sentinel, lo, hi):
+        rows, pids, valid = locate_ops.expand_ranges(lo, hi, capacity)
+        r = meta.sampling_ratio
+        if meta.has_sa_full:
+            locs = jnp.where(valid, _owned_gather(axis, sa, rows), U32(0))
+            return locs, pids, valid
+
+        # LF-walk with collective gathers (locate/mod.rs:21-35 semantics)
+        def needs_step(pos, done):
+            return (pos % U32(r) != 0) & ~done & valid
+
+        def cond(carry):
+            pos, offset, loc, done = carry
+            return jnp.any(needs_step(pos, done))
+
+        def body(carry):
+            pos, offset, loc, done = carry
+            need = needs_step(pos, done)
+            pos_q = jnp.where(need, pos, U32(0))
+            q, rm = _split_pos(meta, sentinel, pos_q)
+            frows = _owned_gather(axis, fused, q)
+            rank, symidx = pre_rank_and_symidx_from_rows(meta, frows, rm)
+            is_sent = (pos_q == sentinel - U32(1)) & need
+            pre = jnp.take(count_arr, symidx)
+            hit = need & is_sent
+            loc = jnp.where(hit, offset, loc)
+            done = done | hit
+            step = need & ~is_sent
+            pos = jnp.where(step, pre + rank, pos)
+            offset = jnp.where(step, offset + 1, offset)
+            return pos, offset, loc, done
+
+        pos, offset, loc, done = rows, jnp.zeros_like(rows), jnp.zeros_like(rows), valid & False
+        if r > 1:
+            pos, offset, loc, done = jax.lax.while_loop(
+                cond, body, (pos, offset, loc, done))
+        sampled = _owned_gather(axis, sa, pos // U32(r))
+        locs = jnp.where(done, loc, sampled + offset)
+        return jnp.where(valid, locs, U32(0)), pids, valid
+
+    return run(fused, sa, count_arr, sentinel, lo, hi)
+
+
+def _rs_resolve(idx, lo, hi, capacity):
+    return _rs_resolve_jit(idx.meta, (idx.mesh, idx.axis), _rs_tree(idx),
+                           (lo, hi), capacity)

@@ -1,0 +1,67 @@
+"""Range-sharded index (fused/SA split by block range) vs the host oracle.
+
+SURVEY.md §2 parallelism inventory, "index range sharding" row — no
+reference analog exists; correctness contract is bit-exact agreement with
+the host engine on every mesh size, with and without the full-SA resolve.
+"""
+import random
+
+import numpy as np
+import pytest
+
+from sview_fmindex_tpu import (
+    BlockKind,
+    EncodingTable,
+    FmIndex,
+    FmIndexBuilder,
+    LookupTableConfig,
+    SuffixArrayConfig,
+)
+from sview_fmindex_tpu.parallel.mesh import make_mesh
+from sview_fmindex_tpu.parallel.range_shard import RangeShardedFmIndex
+from sview_fmindex_tpu.utils.patterns import pack_patterns
+
+from oracle import gen_rand_pattern, gen_rand_symbols, gen_rand_text
+
+
+def _build(tmp_path, n=3000, seed=3, r=2, k=2, sa_full=False):
+    rng = random.Random(seed)
+    symbols = gen_rand_symbols(rng, 5)
+    text = gen_rand_text(rng, symbols, n, n + 500)
+    enc = EncodingTable.from_symbols(symbols)
+    sa_path = str(tmp_path / "sa_full.u32") if sa_full else None
+    builder = FmIndexBuilder(
+        len(text), enc.symbol_count(), enc, block=BlockKind(3, 64),
+        suffix_array_config=SuffixArrayConfig.compressed(r),
+        lookup_table_config=LookupTableConfig.kmer_size(k),
+    )
+    blob = builder.build(text, sa_full_path=sa_path)
+    fm = FmIndex.load(blob, block=BlockKind(3, 64), encoder_kind="table")
+    return fm, text, rng, sa_path
+
+
+@pytest.mark.parametrize("n_dev,sa_full", [(2, False), (8, False), (4, True)])
+def test_range_sharded_matches_host(tmp_path, n_dev, sa_full):
+    fm, text, rng, sa_path = _build(tmp_path, sa_full=sa_full)
+    mesh = make_mesh(n_devices=n_dev, axis="rs")
+    rs = RangeShardedFmIndex(fm, mesh=mesh, sa_full=sa_path)
+    assert rs.meta.has_sa_full == sa_full
+    # the point of range sharding: each shard holds 1/D of the big tables
+    assert rs.fused.sharding.shard_shape(rs.fused.shape)[0] \
+        == rs.fused.shape[0] // n_dev
+
+    patterns = [gen_rand_pattern(rng, text, 1, 10) for _ in range(30)]
+    patterns.append(b"\x00\x01zzqq")  # absent pattern -> empty range lanes
+    batch, lens = pack_patterns(patterns)
+
+    counts = np.asarray(rs.count(batch, lens))
+    for i, p in enumerate(patterns):
+        assert counts[i] == fm.count(p), (i, p)
+
+    locs, pids, valid = map(np.asarray, rs.locate(batch, lens))
+    got = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(p), []).append(int(l))
+    for i, p in enumerate(patterns):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
