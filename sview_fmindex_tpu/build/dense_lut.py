@@ -15,6 +15,8 @@ to seeding with the blob table and LF-stepping (config-invariance semantics,
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 # mask[t] selects the t most-significant bits of a uint32 lane
@@ -105,3 +107,44 @@ def auto_dense_k(sigma: int, blob_k: int, max_entries: int,
         while dk > 1 and sigma**dk > 4 * text_len:
             dk -= 1
     return dk if dk > blob_k else 0
+
+
+def extend_dense_lut_device(meta, fused, count_arr, sentinel, d_lo, d_hi,
+                            levels: int, chunk: int = 1 << 23):
+    """Extend a device-resident dense table by ``levels`` symbols ON DEVICE.
+
+    The dk+1 table's entry for string c.w (symbol c prepended to the
+    length-dk string w) is one LF step with c over the dk entry of w:
+    ``new[c * M + i] = C[c] + rank_c(old[i])`` — so each level costs
+    2*sigma*M batched rank queries on the chip (~13 s for dk 13 -> 14 at
+    1 Gbp) instead of a multi-minute host pass.  Entries whose source range
+    is empty map to an equal (lo == hi) pair, which seeds the search
+    identically to the host-built table (count 0) even though the raw
+    values may differ — results are bit-identical (config invariance).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.rank import rank_next
+
+    sigma = meta.sigma
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def _step(fused, sentinel, ends, pre, c):
+        sym = jnp.full(ends.shape, c, jnp.int32)
+        return pre + rank_next(meta, fused, sentinel, ends, sym)
+
+    for _ in range(levels):
+        M = d_lo.shape[0]
+        lo_parts, hi_parts = [], []
+        for c in range(sigma):
+            pre = count_arr[c]
+            clo, chi = [], []
+            for c0 in range(0, M, chunk):
+                clo.append(_step(fused, sentinel, d_lo[c0:c0 + chunk], pre, c))
+                chi.append(_step(fused, sentinel, d_hi[c0:c0 + chunk], pre, c))
+            lo_parts.append(jnp.concatenate(clo) if len(clo) > 1 else clo[0])
+            hi_parts.append(jnp.concatenate(chi) if len(chi) > 1 else chi[0])
+        d_lo = jnp.concatenate(lo_parts)
+        d_hi = jnp.concatenate(hi_parts)
+    return d_lo, d_hi

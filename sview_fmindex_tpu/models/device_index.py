@@ -72,6 +72,7 @@ class DeviceFmIndex:
     @classmethod
     def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
                   dense_lut_cache: str | None = None,
+                  dense_host_entries: int = 1 << 26,
                   stream: bool = True, stream_tile: int | None = None,
                   sa_full: "np.ndarray | str | None" = None,
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
@@ -81,6 +82,11 @@ class DeviceFmIndex:
         (``build/dense_lut.py``); None or 0 disables densification.
         ``dense_lut_cache`` (a .npz path) persists the computed table so
         repeated loads of the same blob skip the host-side build pass.
+        ``dense_host_entries`` caps the HOST-built part: when
+        ``dense_lut_entries`` allows a deeper table, the remaining levels
+        extend ON DEVICE with batched LF steps over the uploaded index
+        (``extend_dense_lut_device`` — seconds per level at Gbp scale vs a
+        multi-minute host pass).
         ``stream`` also uploads the sort-join stream table
         (``ops.stream_join``) used for large query batches.
         ``sa_full``: optional full (r=1) suffix array — uint32 array or path
@@ -173,19 +179,23 @@ class DeviceFmIndex:
 
         dk = auto_dense_k(sigma, fm.kmer_size, dense_lut_entries or 0,
                           text_len=fm.text_len)
+        dk_host = min(dk, max(auto_dense_k(sigma, fm.kmer_size,
+                                           dense_host_entries,
+                                           text_len=fm.text_len),
+                              fm.kmer_size + 1)) if dk else 0
         if dk:
             d_lo = d_hi = None
             if dense_lut_cache is not None:
                 try:
                     with np.load(dense_lut_cache) as z:
-                        if int(z["dk"]) == dk:
+                        if int(z["dk"]) == dk_host:
                             d_lo, d_hi = z["lo"], z["hi"]
                 except (OSError, KeyError):
                     pass
             if d_lo is None:
-                d_lo, d_hi = dense_lut(fm, dk)
+                d_lo, d_hi = dense_lut(fm, dk_host)
                 if dense_lut_cache is not None:
-                    np.savez(dense_lut_cache, dk=dk, lo=d_lo, hi=d_hi)
+                    np.savez(dense_lut_cache, dk=dk_host, lo=d_lo, hi=d_hi)
         else:
             d_lo = d_hi = np.zeros(1, dtype=np.uint32)
 
@@ -223,14 +233,25 @@ class DeviceFmIndex:
             sa_dev = sa_full.astype(np.uint32, copy=False)
         else:
             sa_dev = fm.suffix_array.astype(np.uint32)
+
+        fused_dev = put(fused)
+        count_dev = put(fm.count_array.astype(np.uint32))
+        sent_dev = put(np.uint32(fm.sentinel_index))
+        dlo_dev, dhi_dev = put(d_lo), put(d_hi)
+        if dk and dk > dk_host:
+            from ..build.dense_lut import extend_dense_lut_device
+
+            dlo_dev, dhi_dev = extend_dense_lut_device(
+                meta, fused_dev, np.asarray(fm.count_array, dtype=np.uint32),
+                sent_dev, dlo_dev, dhi_dev, dk - dk_host)
         return cls(
-            fused=put(fused),
+            fused=fused_dev,
             kmer_tbl=put(fm.kmer_count_table.astype(np.uint32)),
-            dense_lo=put(d_lo),
-            dense_hi=put(d_hi),
-            count_arr=put(fm.count_array.astype(np.uint32)),
+            dense_lo=dlo_dev,
+            dense_hi=dhi_dev,
+            count_arr=count_dev,
             sa=put(sa_dev),
-            sentinel=put(np.uint32(fm.sentinel_index)),
+            sentinel=sent_dev,
             enc_table=put(enc_table),
             stream_tbl=put(s_tbl),
             meta=meta,

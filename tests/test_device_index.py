@@ -338,3 +338,35 @@ def test_derived_cache_roundtrip_and_stale_guard(tmp_path):
     import os
     fused_files = [f for f in os.listdir(cache) if f.startswith("fused_")]
     assert len(fused_files) == 2, fused_files
+
+
+def test_dense_lut_device_extension_invariance():
+    """Extending the dense seed table ON DEVICE (extra LF levels over the
+    uploaded index) must give bit-identical query results to the host-built
+    table of the same depth and to no densification at all."""
+    from sview_fmindex_tpu.models.device_index import DeviceFmIndex
+
+    rng = random.Random(41)
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    text = gen_rand_text(rng, symbols, 2000, 2500)
+    fm = _build(text, symbols, BlockKind(2, 64), 2, 2)
+    sigma = 4
+    dev_plain = DeviceFmIndex.from_host(fm, dense_lut_entries=0)
+    dev_host5 = DeviceFmIndex.from_host(fm, dense_lut_entries=sigma**5)
+    dev_ext = DeviceFmIndex.from_host(fm, dense_lut_entries=sigma**5,
+                                      dense_host_entries=sigma**3)
+    assert dev_host5.meta.dense_k == 5 and dev_ext.meta.dense_k == 5
+
+    patterns = [gen_rand_pattern(rng, text, 1, 12) for _ in range(40)]
+    patterns.append(b"zz\x01\x02zzz")  # absent -> exercises empty entries
+    batch, lens = pack_patterns(patterns)
+    c0 = np.asarray(dev_plain.count(batch, lens))
+    c1 = np.asarray(dev_host5.count(batch, lens))
+    c2 = np.asarray(dev_ext.count(batch, lens))
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(c0, c2)
+
+    l1 = dev_host5.locate(batch, lens, capacity=1024)
+    l2 = dev_ext.locate(batch, lens, capacity=1024)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
