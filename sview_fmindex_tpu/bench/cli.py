@@ -144,6 +144,18 @@ def locate(args) -> None:
     load_start = _now()
     if args.algorithm == "mmap":
         blob = np.memmap(blob_path, dtype=np.uint8, mode="r")
+        # reference parity: MMAP_ADVICE_{RANDOM,SEQUENTIAL,DONTDUMP} env
+        # toggles (bench/src/locate/sview_mmap.rs:27-43)
+        import mmap as _mmap
+
+        mm = getattr(blob, "_mmap", None)
+        if mm is not None and hasattr(mm, "madvise"):
+            if os.environ.get("MMAP_ADVICE_RANDOM"):
+                mm.madvise(_mmap.MADV_RANDOM)
+            elif os.environ.get("MMAP_ADVICE_SEQUENTIAL"):
+                mm.madvise(_mmap.MADV_SEQUENTIAL)
+            elif os.environ.get("MMAP_ADVICE_DONTDUMP") and hasattr(_mmap, "MADV_DONTDUMP"):
+                mm.madvise(_mmap.MADV_DONTDUMP)
     else:
         blob = np.fromfile(blob_path, dtype=np.uint8)
     fm = FmIndex.load(blob, position="u32", block=block, encoder_kind="table")
@@ -186,6 +198,22 @@ def locate(args) -> None:
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="sview-fmindex-tpu-bench")
     sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("generate",
+                       help="legacy: generate both text and patterns "
+                            "(bench/src/main.rs:17-38)")
+    p.add_argument("-d", "--data-dir", default="test_data")
+    p.add_argument("-t", "--text-length", type=int, default=100000)
+    p.add_argument("-p", "--pattern-length", type=int, default=20)
+    p.add_argument("-n", "--pattern-count", type=int, default=100)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--overwrite", action="store_true")
+
+    def _generate(a):
+        a.cold_ratio = 1.0
+        generate_text(a)
+        generate_pattern(a)
+    p.set_defaults(func=_generate)
 
     p = sub.add_parser("generate-text")
     p.add_argument("-d", "--data-dir", default="test_data")

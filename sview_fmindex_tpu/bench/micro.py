@@ -150,7 +150,10 @@ def main(argv=None) -> None:
     log(f"[micro] host build: {build_s:.1f}s (+load {time.perf_counter()-t0-build_s:.1f}s)")
 
     t0 = time.perf_counter()
+    # deep seed table, shallow host part: the dk>10 levels extend ON DEVICE
+    # (extend_dense_lut_device) — seconds instead of a ~20 min host pass
     dev = fm.to_device(dense_lut_entries=1 << 26 if on_tpu else 1 << 16,
+                       dense_host_entries=1 << 20,
                        sa_full=sa_full)
     upload_s = time.perf_counter() - t0
     log(f"[micro] device upload: {upload_s:.1f}s (dense_k={dev.meta.dense_k})")

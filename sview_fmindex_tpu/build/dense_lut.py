@@ -129,22 +129,36 @@ def extend_dense_lut_device(meta, fused, count_arr, sentinel, d_lo, d_hi,
 
     sigma = meta.sigma
 
-    @functools.partial(jax.jit, static_argnums=(4,))
+    # ONE compiled shape: symbol and C[symbol] are traced scalars, chunks
+    # are padded to a fixed size (remote compiles are expensive; a
+    # shape/static proliferation here would dominate the extension time)
+    @jax.jit
     def _step(fused, sentinel, ends, pre, c):
-        sym = jnp.full(ends.shape, c, jnp.int32)
+        sym = jnp.broadcast_to(c, ends.shape).astype(jnp.int32)
         return pre + rank_next(meta, fused, sentinel, ends, sym)
 
+    on_tpu = jax.default_backend() == "tpu"
     for _ in range(levels):
         M = d_lo.shape[0]
+        # TPU: ONE fixed compiled shape (padding waste on small levels is
+        # seconds; each extra remote compile is tens of seconds).  CPU
+        # (tests): shape-fit chunks — compiles are cheap, padding isn't.
+        csz = chunk if on_tpu else min(chunk, max(1 << 12, 1 << (M - 1).bit_length()))
+        n_chunks = -(-M // csz)
+        pad = n_chunks * csz - M
+        if pad:
+            d_lo = jnp.concatenate([d_lo, jnp.zeros(pad, jnp.uint32)])
+            d_hi = jnp.concatenate([d_hi, jnp.zeros(pad, jnp.uint32)])
         lo_parts, hi_parts = [], []
         for c in range(sigma):
-            pre = count_arr[c]
+            pre = jnp.uint32(count_arr[c])
+            cj = jnp.int32(c)
             clo, chi = [], []
-            for c0 in range(0, M, chunk):
-                clo.append(_step(fused, sentinel, d_lo[c0:c0 + chunk], pre, c))
-                chi.append(_step(fused, sentinel, d_hi[c0:c0 + chunk], pre, c))
-            lo_parts.append(jnp.concatenate(clo) if len(clo) > 1 else clo[0])
-            hi_parts.append(jnp.concatenate(chi) if len(chi) > 1 else chi[0])
+            for c0 in range(0, n_chunks * csz, csz):
+                clo.append(_step(fused, sentinel, d_lo[c0:c0 + csz], pre, cj))
+                chi.append(_step(fused, sentinel, d_hi[c0:c0 + csz], pre, cj))
+            lo_parts.append(jnp.concatenate(clo)[:M] if len(clo) > 1 else clo[0][:M])
+            hi_parts.append(jnp.concatenate(chi)[:M] if len(chi) > 1 else chi[0][:M])
         d_lo = jnp.concatenate(lo_parts)
         d_hi = jnp.concatenate(hi_parts)
     return d_lo, d_hi

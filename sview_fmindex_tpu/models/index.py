@@ -146,7 +146,8 @@ class FmIndex:
         return self._blob
 
     def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
-                  dense_lut_cache: str | None = None, sa_full=None,
+                  dense_lut_cache: str | None = None,
+                  dense_host_entries: int = 1 << 26, sa_full=None,
                   stream: bool = True, stream_tile: int | None = None,
                   derived_cache_dir: str | None = None):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries.
@@ -160,8 +161,10 @@ class FmIndex:
 
         return DeviceFmIndex.from_host(
             self, device=device, dense_lut_entries=dense_lut_entries,
-            dense_lut_cache=dense_lut_cache, sa_full=sa_full, stream=stream,
-            stream_tile=stream_tile, derived_cache_dir=derived_cache_dir,
+            dense_lut_cache=dense_lut_cache,
+            dense_host_entries=dense_host_entries, sa_full=sa_full,
+            stream=stream, stream_tile=stream_tile,
+            derived_cache_dir=derived_cache_dir,
         )
 
     # ------------------------------------------------------------------
