@@ -145,9 +145,10 @@ def main() -> None:
     log(f"[bench] blob load: {time.time()-t0:.2f}s (build_s={build_s:.1f})")
 
     t0 = time.time()
-    lut_cache = os.path.join(CACHE_DIR, f"dense_lut_{TEXT_SIZE}_{SEED}.npz")
     sa_full = sa_full_path() if os.path.exists(sa_full_path()) else None
-    dev = fm.to_device(dense_lut_entries=1 << 26, dense_lut_cache=lut_cache,
+    # dk=14 seed table: dk10 host-built (~4 s), 4 levels extended ON DEVICE
+    # (extend_dense_lut_device) — the dk13 host pass alone took ~19 min
+    dev = fm.to_device(dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
                        sa_full=sa_full, derived_cache_dir=CACHE_DIR)
     upload_s = time.time() - t0
     log(f"[bench] device upload (dense_k={dev.meta.dense_k}, "

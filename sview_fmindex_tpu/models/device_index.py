@@ -362,11 +362,40 @@ def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(2,))
+def _expand_jit(lo, hi, capacity: int):
+    return locate_ops.expand_ranges(lo, hi, capacity)
+
+
+@jax.jit
+def _sa_gather_jit(sa, rows, valid):
+    # rows stay uint32 (int32 would overflow for text_len in [2^31, 2^32))
+    return jnp.where(valid, jnp.take(sa, rows), jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _walk_jit(meta, fused, count_arr, use_stream: bool, sa, sentinel, rows,
+              valid, stream_tbl):
+    return locate_ops.walk_rows(meta, fused, count_arr, sa, sentinel, rows,
+                                valid, stream_tbl=stream_tbl,
+                                use_stream=use_stream)
+
+
 def _resolve_jit(idx: DeviceFmIndex, lo, hi, capacity: int,
                  use_stream: bool = False):
-    """Second locate executable: expand ranges + resolve rows."""
-    return locate_ops.locate_rows(
-        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel, lo, hi,
-        capacity, stream_tbl=idx.stream_tbl, use_stream=use_stream,
-    )
+    """Locate's resolution phase, deliberately SPLIT into small dispatches
+    (expand, then sa-gather or LF-walk): one fused resolve program drew a
+    fast or slow XLA schedule at random across recompiles (measured 40 vs
+    80 ms for identical B=1M work); the small programs compile predictably
+    and their ~0.1 ms dispatch overhead is noise.  The static meta for the
+    walk is stripped of seed-table fields it never reads (dense_k) so a
+    different dense depth still hits the same compiled program.
+    """
+    rows, pids, valid = _expand_jit(lo, hi, capacity)
+    if idx.meta.has_sa_full:
+        locs = _sa_gather_jit(idx.sa, rows, valid)
+    else:
+        meta = dataclasses.replace(idx.meta, dense_k=0)
+        locs = _walk_jit(meta, idx.fused, idx.count_arr, use_stream, idx.sa,
+                         idx.sentinel, rows, valid, idx.stream_tbl)
+    return locs, pids, valid
