@@ -37,10 +37,12 @@ def log(msg: str) -> None:
 
 
 def _force(x):
+    """Force execution via a data-dependent 4-byte transfer per leaf — a
+    full-array pull would time the host tunnel, not the chip."""
     import jax
 
     for leaf in jax.tree.leaves(x):
-        np.asarray(leaf)
+        np.asarray(leaf[-1:] if getattr(leaf, "ndim", 0) else leaf)
 
 
 def timeit(fn, *args, reps: int = 8):
@@ -233,13 +235,10 @@ def main(argv=None) -> None:
 
     if "locate" in groups:
         log("[micro] group locate")
-        ctx = None
-        if args.profile_dir:
-            jax.profiler.start_trace(args.profile_dir)
-            ctx = args.profile_dir
         for B in batches:
             counts = np.asarray(dev.count(pats[B], lens[B]))
-            cap = max(1 << (int(counts.sum()) - 1).bit_length(), 1024)
+            from sview_fmindex_tpu.ops.locate import expand_capacity
+            cap = expand_capacity(counts)
             for us, name in ((False, "gather"), (True, "stream")):
                 if us and not dev.meta.stream_rows:
                     continue
@@ -259,9 +258,18 @@ def main(argv=None) -> None:
                         pats[B][: p.shape[0]], lens[B], capacity=cap, use_stream=us),
                     pats[B], reps=args.reps)
                 row("locate", f"locate[{name},cap={cap}]", B, dt, warm)
-        if ctx:
-            jax.profiler.stop_trace()
-            log(f"[micro] trace written to {ctx}")
+        if args.profile_dir:
+            # trace captured OUTSIDE the timed loops (profiling adds
+            # per-dispatch overhead that would distort the rows above)
+            B = batches[-1]
+            counts = np.asarray(dev.count(pats[B], lens[B]))
+            from sview_fmindex_tpu.ops.locate import expand_capacity
+            cap = expand_capacity(counts)
+            with jax.profiler.trace(args.profile_dir):
+                out = dev.locate_with_counts(pats[B], lens[B], capacity=cap,
+                                             use_stream=True)
+                _force(out)
+            log(f"[micro] trace written to {args.profile_dir}")
 
     if args.out:
         with open(args.out, "w") as f:

@@ -110,7 +110,9 @@ class DeviceFmIndex:
             raise BuildError("kmer table too large for int32 device indexing")
 
         if isinstance(sa_full, str):
-            sa_full = np.fromfile(sa_full, dtype="<u4")
+            # memmap, not fromfile: device_put DMAs straight from the page
+            # cache instead of staging a second 4 GB copy in RAM
+            sa_full = np.memmap(sa_full, dtype="<u4", mode="r")
         if sa_full is not None:
             if sa_full.shape[0] != fm.text_len:
                 raise BuildError(
