@@ -130,15 +130,17 @@ def run_cell(args) -> None:
             sa_full=sa_full if os.path.exists(sa_full) else None,
             derived_cache_dir=CACHE_DIR)
         warm.join()
-        # warmup executables on a 2-row slice so load_ns covers compile+init
-        dev.count(pats[:2])
-        load_ns = time.perf_counter_ns() - load_start
-        q_start = time.perf_counter_ns()
+        # warm the REAL batch shapes so load_ns covers runtime init +
+        # upload + executable compiles (the device analog of blob load)
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
+        counts_w = np.asarray(dev.count(pats))
+        cap = expand_capacity(counts_w)
+        np.asarray(dev.locate_with_counts(pats, capacity=cap)[0][-1:])
+        load_ns = time.perf_counter_ns() - load_start
+        q_start = time.perf_counter_ns()
         counts = np.asarray(dev.count(pats))
-        locs, pids, valid, _ = dev.locate_with_counts(
-            pats, capacity=expand_capacity(counts))
+        locs, pids, valid, _ = dev.locate_with_counts(pats, capacity=cap)
         locs, pids, valid = map(np.asarray, (locs, pids, valid))
         with open(out_path, "w") as f:
             order = np.argsort(pids[valid], kind="stable")
