@@ -109,10 +109,7 @@ def get_blob(text: bytes):
                         encoder_kind="table"), build_s
 
 
-def force_slice(x) -> None:
-    """Force full execution of a device array via a data-dependent 4-byte
-    transfer (full-array pulls would time the host tunnel, not the chip)."""
-    np.asarray(x[-1:])
+from sview_fmindex_tpu.bench.timing import force as force_slice  # noqa: E402
 
 
 def main() -> None:
@@ -214,7 +211,8 @@ def main() -> None:
             assert bytes(text_arr[l:l + PATTERN_LEN]) == bytes(patterns_np[p]), (l, p)
 
         # ---- TPU-side parity gate: stream vs gather engines ----
-        if os.environ.get("BENCH_PARITY", "1") != "0" and B <= 1_000_000:
+        # runs for EVERY measured batch (any batch can become the headline)
+        if os.environ.get("BENCH_PARITY", "1") != "0":
             t0 = time.time()
             c_g = np.asarray(dev.count(patterns, lens, use_stream=False))
             assert (c_g == counts).all(), "count parity FAILED (stream vs gather)"

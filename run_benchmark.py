@@ -67,7 +67,9 @@ def gen_patterns(text_size: int, count: int, cold_ratio: float, seed: int):
     substrings of the text, warm = cyclic repeats of the cold set."""
     text = np.memmap(text_path(text_size), dtype=np.uint8, mode="r")
     rng = np.random.default_rng(seed)
-    cold_count = min(int(np.ceil(cold_ratio * count)), count)
+    # at least one cold pattern: warm patterns are repeats OF the cold set
+    # (generate.rs:96-128), so cold_ratio=0 still needs a seed pattern
+    cold_count = max(min(int(np.ceil(cold_ratio * count)), count), 1)
     starts = rng.integers(0, text_size - PATTERN_LEN + 1, size=cold_count)
     cold = text[np.asarray(starts)[:, None] + np.arange(PATTERN_LEN)]
     if count > cold_count:
@@ -134,9 +136,11 @@ def run_cell(args) -> None:
         # upload + executable compiles (the device analog of blob load)
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
+        from sview_fmindex_tpu.bench.timing import force
+
         counts_w = np.asarray(dev.count(pats))
         cap = expand_capacity(counts_w)
-        np.asarray(dev.locate_with_counts(pats, capacity=cap)[0][-1:])
+        force(dev.locate_with_counts(pats, capacity=cap))
         load_ns = time.perf_counter_ns() - load_start
         q_start = time.perf_counter_ns()
         counts = np.asarray(dev.count(pats))

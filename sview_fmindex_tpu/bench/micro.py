@@ -36,26 +36,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _force(x):
-    """Force execution via a data-dependent 4-byte transfer per leaf — a
-    full-array pull would time the host tunnel, not the chip."""
-    import jax
-
-    for leaf in jax.tree.leaves(x):
-        np.asarray(leaf[-1:] if getattr(leaf, "ndim", 0) else leaf)
-
-
-def timeit(fn, *args, reps: int = 8):
-    """(warmup_s, steady_s): compile+first-run, then pipelined steady state
-    (enqueue all reps, force every result at the end)."""
-    t0 = time.perf_counter()
-    _force(fn(*args))
-    warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    for o in outs:
-        _force(o)
-    return warm, (time.perf_counter() - t0) / reps
+from .timing import force as _force, timeit  # shared TPU-timing idiom
 
 
 def build_index(text_size: int, seed: int, cache_dir: str | None):

@@ -15,8 +15,6 @@ to seeding with the blob table and LF-stepping (config-invariance semantics,
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 # mask[t] selects the t most-significant bits of a uint32 lane

@@ -118,26 +118,34 @@ class DeviceFmIndex:
                 raise BuildError(
                     f"sa_full length {sa_full.shape[0]} != text_len {fm.text_len}")
             # guard against a stale cache from a DIFFERENT text of the same
-            # length: the blob's sampled SA must be exactly sa_full[::r]
-            if not np.array_equal(sa_full[:: fm.sampling_ratio],
-                                  fm.suffix_array.astype(np.uint32)):
+            # length: sa_full[::r] must equal the blob's sampled SA.  A
+            # deterministic 64k-probe sample gives the same protection as
+            # the full compare (a stale SA differs almost everywhere)
+            # without paging in the whole multi-GB memmap.
+            n_sa = fm.suffix_array.shape[0]
+            probes = np.unique(np.linspace(0, n_sa - 1, min(n_sa, 65536),
+                                           dtype=np.int64))
+            if not np.array_equal(
+                    np.asarray(sa_full[probes * fm.sampling_ratio]),
+                    fm.suffix_array[probes].astype(np.uint32)):
                 raise BuildError(
                     "sa_full does not match the blob's sampled suffix array "
                     "(stale or mismatched sa_full cache)")
 
-        # content digest guarding the derived caches (ADVICE: a stale cache
-        # from a different text of the same length must never be served)
+        # content digest guarding EVERY derived cache (a stale cache from a
+        # different text of the same shape must never be served)
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(fm.suffix_array[:65536]).tobytes())
+        h.update(np.ascontiguousarray(fm.count_array).tobytes())
+        h.update(str((fm.text_len, fm.sentinel_index, kind.num_planes,
+                      kind.num_lanes, fm.sampling_ratio)).encode())
+        content_digest = h.hexdigest()[:16]
         digest = None
         if derived_cache_dir is not None:
-            import hashlib
-
             os.makedirs(derived_cache_dir, exist_ok=True)
-            h = hashlib.sha1()
-            h.update(np.ascontiguousarray(fm.suffix_array[:65536]).tobytes())
-            h.update(np.ascontiguousarray(fm.count_array).tobytes())
-            h.update(str((fm.text_len, fm.sentinel_index, kind.num_planes,
-                          kind.num_lanes, fm.sampling_ratio)).encode())
-            digest = h.hexdigest()[:16]
+            digest = content_digest
 
         def _cached(name: str, builder_fn):
             if digest is None:
@@ -190,14 +198,18 @@ class DeviceFmIndex:
             if dense_lut_cache is not None:
                 try:
                     with np.load(dense_lut_cache) as z:
-                        if int(z["dk"]) == dk_host:
+                        # dk AND content digest must match: a cache from a
+                        # different text would silently mis-seed every query
+                        if int(z["dk"]) == dk_host and "digest" in z.files \
+                                and str(z["digest"]) == content_digest:
                             d_lo, d_hi = z["lo"], z["hi"]
                 except (OSError, KeyError):
                     pass
             if d_lo is None:
                 d_lo, d_hi = dense_lut(fm, dk_host)
                 if dense_lut_cache is not None:
-                    np.savez(dense_lut_cache, dk=dk_host, lo=d_lo, hi=d_hi)
+                    np.savez(dense_lut_cache, dk=dk_host, lo=d_lo, hi=d_hi,
+                             digest=content_digest)
         else:
             d_lo = d_hi = np.zeros(1, dtype=np.uint32)
 
