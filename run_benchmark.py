@@ -126,9 +126,10 @@ def run_cell(args) -> None:
     fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64, encoder_kind="table")
     if args.algorithm == "device":
         sa_full = os.path.join(CACHE_DIR, f"sa_full_{text_size}_{SEED}.u32")
+        # same config as bench.py: dk10 host seeds, deeper levels extended
+        # on device (the dk13+ host pass would take ~19 min per cell)
         dev = fm.to_device(
-            dense_lut_entries=1 << 26,
-            dense_lut_cache=os.path.join(CACHE_DIR, f"dense_lut_{text_size}_{SEED}.npz"),
+            dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
             sa_full=sa_full if os.path.exists(sa_full) else None,
             derived_cache_dir=CACHE_DIR)
         warm.join()
