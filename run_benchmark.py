@@ -7,8 +7,10 @@ the reference CSV schema
     pattern_count,cold_ratio,algorithm,total_ns,load_percent,max_rss_kb
 
 Algorithms (reference: lt-fm-index / sview-memory / sview-mmap):
-- ``memory``  blob fully read into RAM (``fs::read`` analog), host engine
-- ``mmap``    np.memmap blob (page-fault on demand), host engine
+- ``memory``  blob fully read into RAM (``fs::read`` analog), batched
+  engine on the CPU backend (the in-memory production path)
+- ``mmap``    np.memmap blob (page-fault on demand), zero-copy scalar
+  engine straight over the blob views (the tiny-RSS disk-serving path)
 - ``device``  blob + derived caches uploaded to the TPU, batched engine
 
 Each cell runs in a FRESH subprocess (like each reference run) so
@@ -101,20 +103,23 @@ def run_cell(args) -> None:
     out_path = os.path.join(CACHE_DIR, f"results_{args.algorithm}.txt")
     t_all = time.perf_counter_ns()
 
-    if args.algorithm == "device":
-        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                              os.path.join(CACHE_DIR, "xla_cache"))
-        import threading
-
+    if args.algorithm in ("device", "memory"):
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(CACHE_DIR, "xla_cache"))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        warm = threading.Thread(target=lambda: jax.jit(lambda x: x + 1)(
-            np.arange(8, dtype=np.int32)).block_until_ready(), daemon=True)
-        warm.start()
+        if args.algorithm == "memory":
+            # the in-memory host path is the batched engine on the CPU
+            # backend (gather engine; the Pallas kernel would interpret)
+            jax.config.update("jax_platforms", "cpu")
+        else:
+            import threading
+
+            warm = threading.Thread(target=lambda: jax.jit(lambda x: x + 1)(
+                np.arange(8, dtype=np.int32)).block_until_ready(), daemon=True)
+            warm.start()
 
     from sview_fmindex_tpu import BLOCK3_U64, FmIndex
 
@@ -124,28 +129,32 @@ def run_cell(args) -> None:
     else:
         blob = np.fromfile(blob_path(text_size), dtype=np.uint8)
     fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64, encoder_kind="table")
-    if args.algorithm == "device":
-        sa_full = os.path.join(CACHE_DIR, f"sa_full_{text_size}_{SEED}.u32")
-        # same config as bench.py: dk10 host seeds, deeper levels extended
-        # on device (the dk13+ host pass would take ~19 min per cell)
-        dev = fm.to_device(
-            dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
-            sa_full=sa_full if os.path.exists(sa_full) else None,
-            derived_cache_dir=CACHE_DIR)
-        warm.join()
-        # warm the REAL batch shapes so load_ns covers runtime init +
-        # upload + executable compiles (the device analog of blob load)
+    if args.algorithm in ("device", "memory"):
+        from sview_fmindex_tpu.bench.timing import force
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
-        from sview_fmindex_tpu.bench.timing import force
-
-        counts_w = np.asarray(dev.count(pats))
+        if args.algorithm == "device":
+            sa_full = os.path.join(CACHE_DIR, f"sa_full_{text_size}_{SEED}.u32")
+            # same config as bench.py: dk10 host seeds, deeper levels extended
+            # on device (the dk13+ host pass would take ~19 min per cell)
+            dev = fm.to_device(
+                dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
+                sa_full=sa_full if os.path.exists(sa_full) else None,
+                derived_cache_dir=CACHE_DIR)
+            warm.join()
+        else:
+            dev = fm.to_device(stream=False, derived_cache_dir=CACHE_DIR)
+        # warm the REAL batch shapes so load_ns covers runtime init +
+        # upload + executable compiles (the analog of blob load)
+        use_stream = args.algorithm == "device"
+        counts_w = np.asarray(dev.count(pats, use_stream=use_stream))
         cap = expand_capacity(counts_w)
-        force(dev.locate_with_counts(pats, capacity=cap))
+        force(dev.locate_with_counts(pats, capacity=cap, use_stream=use_stream))
         load_ns = time.perf_counter_ns() - load_start
         q_start = time.perf_counter_ns()
-        counts = np.asarray(dev.count(pats))
-        locs, pids, valid, _ = dev.locate_with_counts(pats, capacity=cap)
+        counts = np.asarray(dev.count(pats, use_stream=use_stream))
+        locs, pids, valid, _ = dev.locate_with_counts(pats, capacity=cap,
+                                                      use_stream=use_stream)
         locs, pids, valid = map(np.asarray, (locs, pids, valid))
         with open(out_path, "w") as f:
             order = np.argsort(pids[valid], kind="stable")
