@@ -370,3 +370,29 @@ def test_dense_lut_device_extension_invariance():
     l2 = dev_ext.locate(batch, lens, capacity=1024)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_extension_multi_chunk_padding():
+    """extend_dense_lut_device with a chunk smaller than the table: the
+    pad/concat chunking path must match the single-chunk result exactly
+    (this is the path the Gbp-scale dk13->14 extension takes)."""
+    from sview_fmindex_tpu.build.dense_lut import extend_dense_lut_device
+    from sview_fmindex_tpu.models.device_index import DeviceFmIndex
+
+    rng = random.Random(51)
+    symbols = [b"Aa", b"Cc", b"Gg", b"Tt"]
+    text = gen_rand_text(rng, symbols, 1500, 2000)
+    fm = _build(text, symbols, BlockKind(2, 64), 2, 2)
+    dev = DeviceFmIndex.from_host(fm, dense_lut_entries=4**3)
+    assert dev.meta.dense_k == 3
+    count_arr = np.asarray(dev.count_arr)
+
+    big = extend_dense_lut_device(dev.meta, dev.fused, count_arr,
+                                  dev.sentinel, dev.dense_lo, dev.dense_hi,
+                                  levels=2, chunk=1 << 22)
+    small = extend_dense_lut_device(dev.meta, dev.fused, count_arr,
+                                    dev.sentinel, dev.dense_lo, dev.dense_hi,
+                                    levels=2, chunk=64)
+    for a, b in zip(big, small):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert big[0].shape[0] == 4**5
