@@ -281,9 +281,11 @@ class DeviceFmIndex:
     # another — see DESIGN.md perf notes); two dispatches cost ~100 us
     # and make each phase's cost predictable.
 
-    # streaming sort-join engages above this batch size (per-step query
-    # count = 2B; below it the fixed sort+stream cost beats nothing)
-    STREAM_MIN_BATCH = 8192
+    # streaming sort-join engages above this batch size — the measured
+    # crossover on a v5e at 1 Gbp/dk14 (count Mq/s, gather vs stream):
+    # 8k: 1.10/0.59, 16k: 1.56/1.05, 32k: 1.84/1.93, 64k: 2.01/3.04,
+    # 128k: 2.10/4.69
+    STREAM_MIN_BATCH = 32768
 
     def _stream(self, B: int, use_stream: bool | None) -> bool:
         if self.meta.stream_rows == 0 or B >= 1 << 25:
