@@ -67,13 +67,24 @@ def _owned_gather(axis: str, table_shard: jax.Array, idx: jax.Array) -> jax.Arra
 
 
 class RangeShardedFmIndex:
-    """A device-mesh FM-index whose fused/SA tables are range-sharded."""
+    """A device-mesh FM-index whose fused/SA tables are range-sharded.
+
+    ``dp_axis``: optional second mesh axis for pattern data-parallelism —
+    tables shard over ``axis`` (and replicate across ``dp_axis``), pattern
+    batches shard over ``dp_axis``; a 2-D (rs, dp) mesh buys back the
+    compute that pure range-sharding duplicates.
+    """
 
     def __init__(self, fm, mesh=None, axis: str = RS_AXIS,
+                 dp_axis: str | None = None,
                  sa_full: "np.ndarray | str | None" = None):
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
-        D = self.mesh.devices.size
+        self.dp_axis = dp_axis
+        if dp_axis is not None:
+            assert axis in self.mesh.axis_names and dp_axis in self.mesh.axis_names, \
+                (self.mesh.axis_names, axis, dp_axis)
+        D = self.mesh.shape[axis] if dp_axis is not None else self.mesh.devices.size
 
         # host-side assembly via the single-device path (staged on the CPU
         # backend when available so nothing lands on a real chip twice)
@@ -116,6 +127,10 @@ class RangeShardedFmIndex:
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
+    @property
+    def dp_size(self) -> int:
+        return self.mesh.shape[self.dp_axis] if self.dp_axis else 1
+
     # ------------------------------------------------------------------
     def _args(self, patterns, lens):
         patterns = np.asarray(patterns, dtype=np.uint8)
@@ -124,24 +139,40 @@ class RangeShardedFmIndex:
         if lens is None:
             lens = np.full(patterns.shape[0], patterns.shape[1], np.int32)
         lens = np.asarray(lens, dtype=np.int32)
+        b = patterns.shape[0]
+        pad = (-b) % self.dp_size
+        if pad:  # padding lanes get length 1, excluded by callers via b
+            patterns = np.concatenate(
+                [patterns, np.zeros((pad, patterns.shape[1]), np.uint8)])
+            lens = np.concatenate([lens, np.ones(pad, np.int32)])
         steps = search_ops.max_steps_needed(self.meta, lens, patterns.shape[1])
-        return patterns, lens, steps
+        return patterns, lens, steps, b
 
     def count(self, patterns, lens=None):
-        patterns, lens, steps = self._args(patterns, lens)
+        patterns, lens, steps, b = self._args(patterns, lens)
         lo, hi = _rs_ranges(self, patterns, lens, steps)
-        return hi - lo
+        return (hi - lo)[:b]
 
     def pos_ranges(self, patterns, lens=None):
-        patterns, lens, steps = self._args(patterns, lens)
-        return _rs_ranges(self, patterns, lens, steps)
+        patterns, lens, steps, b = self._args(patterns, lens)
+        lo, hi = _rs_ranges(self, patterns, lens, steps)
+        return lo[:b], hi[:b]
 
     def locate(self, patterns, lens=None, capacity: int | None = None):
-        patterns, lens, steps = self._args(patterns, lens)
+        """(locs, pids, valid); with dp_axis, ``capacity`` is PER dp shard
+        and pids are global batch indices (padding excluded via valid)."""
+        patterns, lens, steps, b = self._args(patterns, lens)
         lo, hi = _rs_ranges(self, patterns, lens, steps)
         if capacity is None:
-            capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
-        return _rs_resolve(self, lo, hi, capacity)
+            counts = np.asarray(hi) - np.asarray(lo)
+            counts[b:] = 0
+            per = patterns.shape[0] // self.dp_size
+            capacity = max(
+                locate_ops.expand_capacity(c, base=per)
+                for c in counts.reshape(self.dp_size, per))
+        locs, pids, valid = _rs_resolve(self, lo, hi, capacity)
+        valid = np.asarray(valid) & (np.asarray(pids) < b)
+        return np.asarray(locs), np.asarray(pids), valid
 
 
 def _rs_tree(idx: RangeShardedFmIndex):
@@ -151,14 +182,15 @@ def _rs_tree(idx: RangeShardedFmIndex):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def _rs_ranges_jit(meta, mesh_axis, tree, inputs, steps):
-    mesh, axis = mesh_axis
+    mesh, axis, dp = mesh_axis
     fused, sa, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel, enc_table = tree
     patterns, lens = inputs
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(axis, None), P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P(), P(), P(),
+                  P(dp, None), P(dp)),
+        out_specs=(P(dp), P(dp)),
     )
     def run(fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
             enc_table, patterns, lens):
@@ -193,23 +225,26 @@ def _rs_ranges_jit(meta, mesh_axis, tree, inputs, steps):
 
 
 def _rs_ranges(idx, patterns, lens, steps):
-    return _rs_ranges_jit(idx.meta, (idx.mesh, idx.axis), _rs_tree(idx),
+    return _rs_ranges_jit(idx.meta, (idx.mesh, idx.axis, idx.dp_axis),
+                          _rs_tree(idx),
                           (jnp.asarray(patterns), jnp.asarray(lens)), steps)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
-    mesh, axis = mesh_axis
+    mesh, axis, dp = mesh_axis
     fused, sa, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel, enc_table = tree
     lo, hi = inputs
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(axis, None), P(axis), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(axis, None), P(axis), P(), P(), P(dp), P(dp)),
+        out_specs=(P(dp), P(dp), P(dp)),
     )
     def run(fused, sa, count_arr, sentinel, lo, hi):
         rows, pids, valid = locate_ops.expand_ranges(lo, hi, capacity)
+        if dp is not None:  # lift local pattern ids to global batch indices
+            pids = pids + jax.lax.axis_index(dp).astype(jnp.int32) * lo.shape[0]
         r = meta.sampling_ratio
         if meta.has_sa_full:
             locs = jnp.where(valid, _owned_gather(axis, sa, rows), U32(0))
@@ -252,5 +287,5 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
 
 
 def _rs_resolve(idx, lo, hi, capacity):
-    return _rs_resolve_jit(idx.meta, (idx.mesh, idx.axis), _rs_tree(idx),
-                           (lo, hi), capacity)
+    return _rs_resolve_jit(idx.meta, (idx.mesh, idx.axis, idx.dp_axis),
+                           _rs_tree(idx), (lo, hi), capacity)

@@ -65,3 +65,39 @@ def test_range_sharded_matches_host(tmp_path, n_dev, sa_full):
             got.setdefault(int(p), []).append(int(l))
     for i, p in enumerate(patterns):
         assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
+
+
+@pytest.mark.parametrize("rs,dp,sa_full", [(2, 4, False), (4, 2, True)])
+def test_range_shard_with_pattern_dp_2d_mesh(tmp_path, rs, dp, sa_full):
+    """2-D (rs x dp) mesh: tables range-shard over rs, pattern batches
+    shard over dp — the composition that buys back the compute pure range
+    sharding duplicates.  Must match the host oracle bit-exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    fm, text, rng, sa_path = _build(tmp_path, sa_full=sa_full)
+    devs = np.array(jax.devices()[: rs * dp]).reshape(rs, dp)
+    mesh = Mesh(devs, ("rs", "dp"))
+    rsh = RangeShardedFmIndex(fm, mesh=mesh, axis="rs", dp_axis="dp",
+                              sa_full=sa_path)
+    assert rsh.dp_size == dp
+    assert rsh.fused.sharding.shard_shape(rsh.fused.shape)[0] \
+        == rsh.fused.shape[0] // rs
+
+    patterns = [gen_rand_pattern(rng, text, 1, 10) for _ in range(21)]
+    patterns.append(b"\x00\x01zzqq")  # absent pattern
+    batch, lens = pack_patterns(patterns)  # 22 lanes -> padded to dp multiple
+
+    counts = np.asarray(rsh.count(batch, lens))
+    assert counts.shape[0] == len(patterns)
+    for i, p in enumerate(patterns):
+        assert counts[i] == fm.count(p), (i, p)
+
+    locs, pids, valid = rsh.locate(batch, lens)
+    got = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            got.setdefault(int(p), []).append(int(l))
+    for i, p in enumerate(patterns):
+        assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
