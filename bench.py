@@ -172,7 +172,7 @@ def main() -> None:
         t0 = time.time()
         counts = np.asarray(dev.count(patterns, lens, use_stream=True))
         capacity = expand_capacity(counts)
-        locs, pids, valid, _ = dev.locate_with_counts(
+        locs, pids, valid, _, dropped = dev.locate_with_counts(
             patterns, lens, capacity=capacity, use_stream=True)
         force_slice(locs)
         r["warmup_s"] = round(time.time() - t0, 1)
@@ -192,7 +192,7 @@ def main() -> None:
         t0 = time.time()
         outs = [dev.locate_with_counts(patterns, lens, capacity=capacity,
                                        use_stream=True) for _ in range(REPS)]
-        for locs, pids, valid, _ in outs:
+        for locs, pids, valid, _, _d in outs:
             force_slice(locs)
         r["locate_qps"] = round(REPS * B / (time.time() - t0), 1)
         r["hits"] = total
@@ -202,7 +202,8 @@ def main() -> None:
             f"({total} hits, cap {capacity}, warmup {r['warmup_s']}s)")
 
         # ---- correctness: every reported location matches its pattern ----
-        locs, pids, valid, _ = outs[-1]
+        locs, pids, valid, _, dropped = outs[-1]
+        assert int(np.asarray(dropped)[0]) == 0, "capacity overflow dropped hits"
         locs_np, pids_np, valid_np = map(np.asarray, (locs, pids, valid))
         assert int(valid_np.sum()) == total
         idx = np.nonzero(valid_np)[0][:200]
@@ -216,7 +217,7 @@ def main() -> None:
             t0 = time.time()
             c_g = np.asarray(dev.count(patterns, lens, use_stream=False))
             assert (c_g == counts).all(), "count parity FAILED (stream vs gather)"
-            lg, pg, vg, _ = dev.locate_with_counts(
+            lg, pg, vg, _, _dg = dev.locate_with_counts(
                 patterns, lens, capacity=capacity, use_stream=False)
             lg, pg, vg = map(np.asarray, (lg, pg, vg))
             assert (vg == valid_np).all() and (lg[vg] == locs_np[valid_np]).all() \

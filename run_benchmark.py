@@ -153,8 +153,9 @@ def run_cell(args) -> None:
         load_ns = time.perf_counter_ns() - load_start
         q_start = time.perf_counter_ns()
         counts = np.asarray(dev.count(pats, use_stream=use_stream))
-        locs, pids, valid, _ = dev.locate_with_counts(pats, capacity=cap,
-                                                      use_stream=use_stream)
+        locs, pids, valid, _, dropped = dev.locate_with_counts(
+            pats, capacity=cap, use_stream=use_stream)
+        assert int(np.asarray(dropped)[0]) == 0, "capacity overflow dropped hits"
         locs, pids, valid = map(np.asarray, (locs, pids, valid))
         with open(out_path, "w") as f:
             order = np.argsort(pids[valid], kind="stable")

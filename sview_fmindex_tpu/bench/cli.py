@@ -148,13 +148,18 @@ def locate(args) -> None:
         # toggles (bench/src/locate/sview_mmap.rs:27-43)
         import mmap as _mmap
 
+        def _env_on(name: str) -> bool:
+            # '0'/''/'false' count as unset (reference checks presence of a
+            # meaningfully-set var, not raw string truthiness)
+            return os.environ.get(name, "").lower() not in ("", "0", "false")
+
         mm = getattr(blob, "_mmap", None)
         if mm is not None and hasattr(mm, "madvise"):
-            if os.environ.get("MMAP_ADVICE_RANDOM"):
+            if _env_on("MMAP_ADVICE_RANDOM"):
                 mm.madvise(_mmap.MADV_RANDOM)
-            elif os.environ.get("MMAP_ADVICE_SEQUENTIAL"):
+            elif _env_on("MMAP_ADVICE_SEQUENTIAL"):
                 mm.madvise(_mmap.MADV_SEQUENTIAL)
-            elif os.environ.get("MMAP_ADVICE_DONTDUMP") and hasattr(_mmap, "MADV_DONTDUMP"):
+            elif _env_on("MMAP_ADVICE_DONTDUMP") and hasattr(_mmap, "MADV_DONTDUMP"):
                 mm.madvise(_mmap.MADV_DONTDUMP)
     else:
         blob = np.fromfile(blob_path, dtype=np.uint8)
@@ -172,7 +177,7 @@ def locate(args) -> None:
 
         batch, lens = pack_patterns(patterns)
         dev = fm.to_device()
-        locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+        locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
         per_pattern: list[list[int]] = [[] for _ in patterns]
         for l, p, v in zip(locs, pids, valid):
             if v:

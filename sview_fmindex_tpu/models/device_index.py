@@ -70,9 +70,9 @@ class DeviceFmIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 20,
+    def from_host(cls, fm, device=None, dense_lut_entries: int | None = 1 << 26,
                   dense_lut_cache: str | None = None,
-                  dense_host_entries: int = 1 << 26,
+                  dense_host_entries: int = 1 << 20,
                   stream: bool = True, stream_tile: int | None = None,
                   sa_full: "np.ndarray | str | None" = None,
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
@@ -154,7 +154,17 @@ class DeviceFmIndex:
             if os.path.exists(path):
                 return np.load(path, mmap_mode="r")
             arr = builder_fn()
-            np.save(path, arr)
+            # atomic publish: a crash or a concurrent second process
+            # mid-write must never leave a truncated cache at the final
+            # digest-keyed name (it would poison every later upload)
+            tmp = os.path.join(derived_cache_dir,
+                               f"{name}_{digest}.tmp{os.getpid()}.npy")
+            try:
+                np.save(tmp, arr)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             return arr
 
         n_blocks = fm.rank_checkpoints.shape[0]
@@ -309,36 +319,41 @@ class DeviceFmIndex:
 
     def locate(self, patterns, lens=None, capacity: int | None = None,
                use_stream: bool | None = None):
-        """Returns (locations uint32 [capacity], pattern_ids int32, valid bool).
+        """Returns (locations uint32 [capacity], pattern_ids int32,
+        valid bool, dropped uint32 [1]).
 
         Slot ``p < B`` is pattern p's first occurrence; slots ``B..`` hold
         the overflow (see ``ops.locate.expand_ranges``).  ``capacity`` is
         the static output budget (must be >= B); when None it is sized from
         the counts (overflow rounded to a power of two to bound recompiles).
+        ``dropped`` counts overflow occurrences that did not fit the budget
+        — callers passing an explicit ``capacity`` must check it is 0
+        before treating the result as complete (no silent caps).
         """
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
         if capacity is None:
             capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
-        locs, pids, valid = _resolve_jit(self, lo, hi, capacity, stream)
-        return locs, pids, valid
+        locs, pids, valid, dropped = _resolve_jit(self, lo, hi, capacity, stream)
+        return locs, pids, valid, dropped
 
     def locate_with_counts(self, patterns, lens=None, capacity: int | None = None,
                            use_stream: bool | None = None):
-        """(locs, pids, valid, counts) — two dispatches, zero host sync when
-        ``capacity`` is given."""
+        """(locs, pids, valid, counts, dropped) — two dispatches, zero host
+        sync when ``capacity`` is given (``dropped`` stays on device)."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
         if capacity is None:
             capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
-        locs, pids, valid = _resolve_jit(self, lo, hi, capacity, stream)
-        return locs, pids, valid, hi - lo
+        locs, pids, valid, dropped = _resolve_jit(self, lo, hi, capacity, stream)
+        return locs, pids, valid, hi - lo, dropped
 
     def resolve_rows(self, lo, hi, capacity: int, use_stream: bool = False):
         """Expand [lo, hi) ranges and resolve rows to locations (the second
-        locate executable, exposed for phase benchmarking)."""
+        locate executable, exposed for phase benchmarking).  Returns
+        (locs, pids, valid, dropped)."""
         return _resolve_jit(self, lo, hi, capacity, use_stream)
 
 
@@ -407,11 +422,11 @@ def _resolve_jit(idx: DeviceFmIndex, lo, hi, capacity: int,
     walk is stripped of seed-table fields it never reads (dense_k) so a
     different dense depth still hits the same compiled program.
     """
-    rows, pids, valid = _expand_jit(lo, hi, capacity)
+    rows, pids, valid, dropped = _expand_jit(lo, hi, capacity)
     if idx.meta.has_sa_full:
         locs = _sa_gather_jit(idx.sa, rows, valid)
     else:
         meta = dataclasses.replace(idx.meta, dense_k=0)
         locs = _walk_jit(meta, idx.fused, idx.count_arr, use_stream, idx.sa,
                          idx.sentinel, rows, valid, idx.stream_tbl)
-    return locs, pids, valid
+    return locs, pids, valid, dropped

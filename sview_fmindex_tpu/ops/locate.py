@@ -41,13 +41,34 @@ def expand_capacity(counts, base: int | None = None) -> int:
     return B + max(1 << max(extra - 1, 1).bit_length(), 64)
 
 
+_SAT_CAP = U32(0x7FFFFFFF)
+
+
+def _sat_cumsum(x: jax.Array) -> jax.Array:
+    """Saturating uint32 prefix sum, capped at 2^31-1.
+
+    A plain uint32 cumsum can WRAP when a few lanes carry huge counts
+    (e.g. shard-padding lanes are length-1 patterns whose true counts are
+    ~text_len/sigma), turning the array non-monotonic and corrupting the
+    searchsorted in :func:`expand_ranges`.  Clamping every element to the
+    cap keeps each combine < 2^32 and min(a+b, cap) is associative on
+    [0, cap], so the scan is exact below the cap and pins at the cap above
+    it — monotonicity is guaranteed either way.
+    """
+    xc = jnp.minimum(x, _SAT_CAP)
+    return jax.lax.associative_scan(lambda a, b: jnp.minimum(a + b, _SAT_CAP), xc)
+
+
 def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
-    """[B] ranges -> (rows uint32 [capacity], pat_ids int32, valid bool).
+    """[B] ranges -> (rows uint32 [capacity], pat_ids int32, valid bool,
+    dropped uint32 [1]).
 
     Slot p < B: row ``lo[p]`` (pattern p's first occurrence).  Slots B..:
     overflow rows ``lo[p]+1 .. hi[p])`` in pattern order; overflow beyond
-    ``capacity - B`` is dropped (callers size capacity via
-    :func:`expand_capacity`).  Requires ``capacity >= B``.
+    ``capacity - B`` is dropped — ``dropped`` counts those rows (0 when the
+    budget sufficed; callers size capacity via :func:`expand_capacity`, and
+    anyone passing an explicit ``capacity`` should check ``dropped`` before
+    trusting completeness).  Requires ``capacity >= B``.
     """
     B = lo.shape[0]
     if capacity < B:
@@ -56,12 +77,13 @@ def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
     counts = hi - lo
     base_valid = counts >= U32(1)
     O = capacity - B
+    extra = counts - base_valid.astype(U32)
+    ecum = _sat_cumsum(extra)
+    etotal = ecum[-1]
+    dropped = (etotal - jnp.minimum(etotal, U32(O))).reshape(1)
     if O == 0:
         return (jnp.where(base_valid, lo, U32(0)),
-                jnp.arange(B, dtype=jnp.int32), base_valid)
-    extra = counts - base_valid.astype(U32)
-    ecum = jnp.cumsum(extra, dtype=U32)
-    etotal = ecum[-1]
+                jnp.arange(B, dtype=jnp.int32), base_valid, dropped)
     j = jnp.arange(O, dtype=U32)
     epat = jnp.searchsorted(ecum, j, side="right").astype(jnp.int32)
     epat_c = jnp.clip(epat, 0, B - 1)
@@ -72,7 +94,7 @@ def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
                             jnp.where(evalid, erows, U32(0))])
     pids = jnp.concatenate([jnp.arange(B, dtype=jnp.int32), epat_c])
     valid = jnp.concatenate([base_valid, evalid])
-    return rows, pids, valid
+    return rows, pids, valid, dropped
 
 
 def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
@@ -133,14 +155,14 @@ def walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
 
 def locate_rows(meta, fused, count_arr, sa, sentinel, lo, hi, capacity: int,
                 stream_tbl=None, use_stream: bool = False):
-    rows, pat_ids, valid = expand_ranges(lo, hi, capacity)
+    rows, pat_ids, valid, dropped = expand_ranges(lo, hi, capacity)
     if getattr(meta, "has_sa_full", False):
         # full (r=1) SA resident on device: one gather resolves every row,
         # including the sentinel-walk case (SA value 0 at the sentinel row
         # equals the offset the reference walk would emit, locate/mod.rs:27-30)
         # rows stay uint32: an int32 cast overflows for text_len in [2^31, 2^32)
         locs = jnp.where(valid, jnp.take(sa, rows), U32(0))
-        return locs, pat_ids, valid
+        return locs, pat_ids, valid, dropped
     locs = walk_rows(meta, fused, count_arr, sa, sentinel, rows, valid,
                      stream_tbl=stream_tbl, use_stream=use_stream)
-    return locs, pat_ids, valid
+    return locs, pat_ids, valid, dropped

@@ -99,9 +99,11 @@ class ShardedFmIndex:
 
     def locate(self, patterns, lens, capacity_per_shard: int | None = None,
                use_stream: bool | None = None):
-        """Returns (locations, pattern_ids, valid) concatenated over shards;
-        pattern_ids are GLOBAL batch indices (padding lanes excluded via
-        valid).
+        """Returns (locations, pattern_ids, valid, dropped) concatenated over
+        shards; pattern_ids are GLOBAL batch indices (padding lanes excluded
+        via valid); ``dropped`` uint32 [n_shards] counts per-shard overflow
+        occurrences beyond ``capacity_per_shard`` (all zero when capacity
+        was auto-sized).
 
         The backward search runs ONCE (``_ranges_sharded``); when
         ``capacity_per_shard`` is None the shard capacity is sized from the
@@ -122,11 +124,11 @@ class ShardedFmIndex:
             capacity_per_shard = max(
                 locate_ops.expand_capacity(c, base=per_shard)
                 for c in counts.reshape(self.n_devices, per_shard))
-        locs, pids, valid = _walk_sharded(
+        locs, pids, valid, dropped = _walk_sharded(
             self.index, lo, hi, self.mesh, self.axis, capacity_per_shard, stream
         )
         valid = np.asarray(valid) & (np.asarray(pids) < b)
-        return np.asarray(locs), np.asarray(pids), valid
+        return np.asarray(locs), np.asarray(pids), valid, np.asarray(dropped)
 
 
 # ----------------------------------------------------------------------
@@ -182,10 +184,10 @@ def _walk_sharded(idx, lo, hi, mesh, axis, capacity_per_shard, use_stream=False)
         mesh=mesh,
         check_vma=False,  # pallas_call outputs lack vma; these are pure maps
         in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )
     def run(idx, lo, hi):
-        locs, pids, valid = locate_ops.locate_rows(
+        locs, pids, valid, dropped = locate_ops.locate_rows(
             idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
             lo, hi, capacity_per_shard,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
@@ -193,6 +195,6 @@ def _walk_sharded(idx, lo, hi, mesh, axis, capacity_per_shard, use_stream=False)
         # lift local pattern ids to global batch indices
         shard = jax.lax.axis_index(axis).astype(jnp.int32)
         pids = pids + shard * lo.shape[0]
-        return locs, pids, valid
+        return locs, pids, valid, dropped
 
     return run(idx, lo, hi)

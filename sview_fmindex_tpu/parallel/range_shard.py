@@ -159,8 +159,10 @@ class RangeShardedFmIndex:
         return lo[:b], hi[:b]
 
     def locate(self, patterns, lens=None, capacity: int | None = None):
-        """(locs, pids, valid); with dp_axis, ``capacity`` is PER dp shard
-        and pids are global batch indices (padding excluded via valid)."""
+        """(locs, pids, valid, dropped); with dp_axis, ``capacity`` is PER dp
+        shard and pids are global batch indices (padding excluded via valid).
+        ``dropped`` counts per-dp-shard overflow beyond ``capacity`` (all
+        zero when capacity was auto-sized)."""
         patterns, lens, steps, b = self._args(patterns, lens)
         lo, hi = _rs_ranges(self, patterns, lens, steps)
         if capacity is None:
@@ -170,9 +172,9 @@ class RangeShardedFmIndex:
             capacity = max(
                 locate_ops.expand_capacity(c, base=per)
                 for c in counts.reshape(self.dp_size, per))
-        locs, pids, valid = _rs_resolve(self, lo, hi, capacity)
+        locs, pids, valid, dropped = _rs_resolve(self, lo, hi, capacity)
         valid = np.asarray(valid) & (np.asarray(pids) < b)
-        return np.asarray(locs), np.asarray(pids), valid
+        return np.asarray(locs), np.asarray(pids), valid, np.asarray(dropped)
 
 
 def _rs_tree(idx: RangeShardedFmIndex):
@@ -239,16 +241,16 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis, None), P(axis), P(), P(), P(dp), P(dp)),
-        out_specs=(P(dp), P(dp), P(dp)),
+        out_specs=(P(dp), P(dp), P(dp), P(dp)),
     )
     def run(fused, sa, count_arr, sentinel, lo, hi):
-        rows, pids, valid = locate_ops.expand_ranges(lo, hi, capacity)
+        rows, pids, valid, dropped = locate_ops.expand_ranges(lo, hi, capacity)
         if dp is not None:  # lift local pattern ids to global batch indices
             pids = pids + jax.lax.axis_index(dp).astype(jnp.int32) * lo.shape[0]
         r = meta.sampling_ratio
         if meta.has_sa_full:
             locs = jnp.where(valid, _owned_gather(axis, sa, rows), U32(0))
-            return locs, pids, valid
+            return locs, pids, valid, dropped
 
         # LF-walk with collective gathers (locate/mod.rs:21-35 semantics)
         def needs_step(pos, done):
@@ -281,7 +283,7 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
                 cond, body, (pos, offset, loc, done))
         sampled = _owned_gather(axis, sa, pos // U32(r))
         locs = jnp.where(done, loc, sampled + offset)
-        return jnp.where(valid, locs, U32(0)), pids, valid
+        return jnp.where(valid, locs, U32(0)), pids, valid, dropped
 
     return run(fused, sa, count_arr, sentinel, lo, hi)
 

@@ -56,7 +56,7 @@ def test_device_matches_host(block, r, k):
     for i, p in enumerate(patterns):
         assert counts[i] == fm.count(p), (i, p)
 
-    locs, pat_ids, valid = dev.locate(batch, lens)
+    locs, pat_ids, valid, _dropped = dev.locate(batch, lens)
     locs, pat_ids, valid = map(np.asarray, (locs, pat_ids, valid))
     by_pattern = {i: [] for i in range(len(patterns))}
     for loc, pid, ok in zip(locs, pat_ids, valid):
@@ -76,7 +76,7 @@ def test_device_readme_example():
     counts = np.asarray(dev.count(batch, lens))
     assert counts.tolist() == [2, 2, 2]
 
-    locs, pat_ids, valid = map(np.asarray, dev.locate(batch, lens))
+    locs, pat_ids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
     got = {i: sorted(int(l) for l, p, v in zip(locs, pat_ids, valid) if v and p == i)
            for i in range(3)}
     assert got == {0: [5, 18], 1: [25, 26], 2: [25, 26]}
@@ -140,7 +140,7 @@ def test_protein_alphabet_mixed_lengths():
     for i, p in enumerate(patterns):
         assert counts[i] == fm.count(p), (i, p)
 
-    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
     got = {}
     for l, pid, v in zip(locs, pids, valid):
         if v:
@@ -166,7 +166,7 @@ def test_dense_lut_toggle_invariance():
     assert (c_on == c_off).all()
 
     def collect(dev):
-        locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+        locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
         out = {}
         for l, p, v in zip(locs, pids, valid):
             if v:
@@ -198,7 +198,7 @@ def test_uniform_length_all_dense_fast_path():
     for i, p in enumerate(uniform):
         assert counts_u[i] == fm.count(p), (i, p)
 
-    locs, pids, valid = map(np.asarray, dev.locate(batch_u, lens_u))
+    locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch_u, lens_u))
     got = {}
     for l, pid, v in zip(locs, pids, valid):
         if v:
@@ -233,7 +233,7 @@ def test_sa_full_locate_path(tmp_path):
     batch, lens = pack_patterns(patterns)
 
     def collect(dev):
-        locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+        locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
         out = {}
         for l, p, v in zip(locs, pids, valid):
             if v:
@@ -261,7 +261,7 @@ def test_device_u64_position_blob():
     counts = np.asarray(dev.count(batch, lens))
     for i, p in enumerate(patterns):
         assert counts[i] == fm.count(p), (i, p)
-    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
     got = {}
     for l, p, v in zip(locs, pids, valid):
         if v:
@@ -305,7 +305,7 @@ def test_device_block6_wide_alphabet():
         counts = np.asarray(dev.count(batch, lens, use_stream=us))
         for i, p in enumerate(patterns):
             assert counts[i] == fm.count(p), (us, i, p)
-    locs, pids, valid = map(np.asarray, dev.locate(batch, lens))
+    locs, pids, valid, _dropped = map(np.asarray, dev.locate(batch, lens))
     got = {}
     for l, p, v in zip(locs, pids, valid):
         if v:

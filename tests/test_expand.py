@@ -13,11 +13,16 @@ U32 = np.uint32
 
 
 def _run(lo, hi, cap):
+    rows, pids, valid, _ = _run4(lo, hi, cap)
+    return rows, pids, valid
+
+
+def _run4(lo, hi, cap):
     import jax.numpy as jnp
 
-    rows, pids, valid = expand_ranges(
+    rows, pids, valid, dropped = expand_ranges(
         jnp.asarray(lo, jnp.uint32), jnp.asarray(hi, jnp.uint32), cap)
-    return map(np.asarray, (rows, pids, valid))
+    return tuple(map(np.asarray, (rows, pids, valid, dropped)))
 
 
 def _pairs(rows, pids, valid):
@@ -58,3 +63,35 @@ def test_expand_capacity_sizing():
     rows, pids, valid = _run([0, 10, 20, 30, 40],
                              [1, 11, 24, 30, 41], cap)
     assert int(valid.sum()) == int(counts.sum())
+
+
+def test_dropped_counts_overflow_beyond_capacity():
+    lo = [100, 0, 50]
+    hi = [105, 0, 52]  # counts 5, 0, 2 -> 5 extras beyond the base slots
+    # roomy capacity: nothing dropped
+    *_, dropped = _run4(lo, hi, expand_capacity(np.array([5, 0, 2])))
+    assert dropped.tolist() == [0]
+    # capacity B+2: 3 of the 5 overflow rows don't fit
+    *_, dropped = _run4(lo, hi, 5)
+    assert dropped.tolist() == [3]
+    # capacity == B (O = 0 branch): all 5 extras dropped
+    *_, dropped = _run4(lo, hi, 3)
+    assert dropped.tolist() == [5]
+
+
+def test_huge_counts_do_not_wrap_cumsum():
+    """Regression (round-3 advisor): shard-padding lanes are length-1
+    patterns whose counts approach text_len; a plain uint32 cumsum of the
+    extras wraps non-monotonic and corrupts the searchsorted.  The
+    saturating scan must keep the valid early overflow slots exact."""
+    big = 3_000_000_000  # 3 lanes x 3e9 extras > 2^32
+    lo = np.array([7, 0, 0, 0, 20], dtype=np.uint64)
+    hi = np.array([10, big, big, big, 21], dtype=np.uint64)
+    rows, pids, valid, dropped = _run4(lo.astype(np.uint32),
+                                       (hi % (1 << 32)).astype(np.uint32), 5 + 4)
+    # pattern 0's two overflow rows (8, 9) must still be addressed exactly
+    got = sorted(zip(pids[valid].tolist(), rows[valid].tolist()))
+    assert (0, 8) in got and (0, 9) in got
+    # ecum monotonic -> searchsorted sane: every overflow slot maps to a
+    # real pattern and dropped saturates instead of wrapping
+    assert int(dropped[0]) > 0

@@ -61,7 +61,7 @@ def test_sharded_locate_matches_host(fm):
     patterns = [gen_rand_pattern(rng, fm._test_text, 2, 8) for _ in range(37)]
     batch, lens = pack_patterns(patterns)
     sharded = ShardedFmIndex(fm.to_device(), make_mesh())
-    locs, pids, valid = sharded.locate(batch, lens)
+    locs, pids, valid, _dropped = sharded.locate(batch, lens)
     by = {i: [] for i in range(len(patterns))}
     for l, p, v in zip(locs, pids, valid):
         if v:
@@ -79,7 +79,7 @@ def test_sharding_invariance(fm):
     for n in (1, 2, 4, 8):
         sharded = ShardedFmIndex(fm.to_device(), make_mesh(n_devices=n))
         counts = np.asarray(sharded.count(batch, lens)).tolist()
-        locs, pids, valid = sharded.locate(batch, lens)
+        locs, pids, valid, _dropped = sharded.locate(batch, lens)
         merged = sorted(
             (int(p), int(l)) for l, p, v in zip(locs, pids, valid) if v
         )

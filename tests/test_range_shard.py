@@ -58,7 +58,7 @@ def test_range_sharded_matches_host(tmp_path, n_dev, sa_full):
     for i, p in enumerate(patterns):
         assert counts[i] == fm.count(p), (i, p)
 
-    locs, pids, valid = map(np.asarray, rs.locate(batch, lens))
+    locs, pids, valid, _dropped = map(np.asarray, rs.locate(batch, lens))
     got = {}
     for l, p, v in zip(locs, pids, valid):
         if v:
@@ -94,7 +94,7 @@ def test_range_shard_with_pattern_dp_2d_mesh(tmp_path, rs, dp, sa_full):
     for i, p in enumerate(patterns):
         assert counts[i] == fm.count(p), (i, p)
 
-    locs, pids, valid = rsh.locate(batch, lens)
+    locs, pids, valid, _dropped = rsh.locate(batch, lens)
     got = {}
     for l, p, v in zip(locs, pids, valid):
         if v:

@@ -92,7 +92,7 @@ def test_count_and_locate_streaming_match_host():
     for i in range(B):
         assert counts[i] == fm.count(pats[i]), (i, pats[i])
 
-    locs, pids, valid = dev.locate(batch, lens, use_stream=True)
+    locs, pids, valid, _dropped = dev.locate(batch, lens, use_stream=True)
     locs, pids, valid = map(np.asarray, (locs, pids, valid))
     for i in range(B):
         mine = sorted(locs[valid & (pids == i)].tolist())
