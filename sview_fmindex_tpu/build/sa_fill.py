@@ -1,0 +1,175 @@
+"""Fill the full (r=1) suffix array ON DEVICE from a subsampled slice.
+
+The fast locate path resolves every BWT row with one gather into a full
+SA (``ops/locate.py``), but at Gbp scale that array is 4 GB — uploading it
+through a ~30 MB/s host->device tunnel dominates cold start.  This module
+uploads only ``SA[R*i]`` (any multiple ``R`` of the blob's sampling ratio,
+e.g. 250-500 MB) and reconstructs the rest with LF steps on device.
+
+Algorithm — forward PUSH along the LF cycle (total work is ~n decode+LF
+ops regardless of R):
+
+    LF maps the row holding SA value v to the row holding v-1
+    (``locate/mod.rs:23-25``), and with the sentinel the LF walk is one
+    n-cycle.  Start one chain at every known row; each step decodes the
+    BWT symbol at the chain head (``bwm/mod.rs:217-236``), LF-steps, and
+    writes ``value-1`` into the next row.  A chain dies when it lands on
+    another known row (``row % R == 0``) or on the sentinel row (value 0,
+    where the reference walk short-circuits, ``locate/mod.rs:27-30``).
+    Every row is filled exactly once: chains partition the cycle into the
+    segments between consecutive known rows.
+
+    One segment is special: the value-0 -> value-(n-1) wrap has no chain
+    entering it (no row holds value n).  Those <~R rows are finished by a
+    tiny backward PULL: walk LF from each until landing on a filled row f
+    after k steps, then value = SA[f] + k.
+
+The push runs as host-driven rounds over a compacting lane array (live
+chains shrink geometrically, rate 1/R per round); decode goes through the
+streaming sort-join kernel for wide rounds and XLA gathers for narrow
+ones.  ~n total rank ops ~= tens of seconds at 1 Gbp vs ~2 min of tunnel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rank import U32, pre_rank_and_symidx
+from ..ops.search import take_small
+
+_UNFILLED = jnp.uint32(0xFFFFFFFF)
+
+
+def _decode(meta, fused, sentinel, pos, stream_tbl, use_stream: bool):
+    if use_stream:
+        from ..ops import stream_join
+
+        return stream_join.pre_rank_and_symidx_sorted(
+            meta, stream_tbl, sentinel, pos, T=meta.stream_tile)
+    return pre_rank_and_symidx(meta, fused, sentinel, pos)
+
+
+@functools.partial(jax.jit, donate_argnums=(7,),
+                   static_argnums=(0, 8, 9, 10))
+def _push_rounds(meta, fused, count_arr, sentinel, pos, val, active, out,
+                 R: int, rounds: int, use_stream: bool, stream_tbl):
+    """Advance every live chain ``rounds`` LF steps, scattering values."""
+    n = out.shape[0]
+
+    def body(_, carry):
+        pos, val, active, out = carry
+        posq = jnp.where(active, pos, U32(0))
+        rank, sym, is_sent = _decode(meta, fused, sentinel, posq,
+                                     stream_tbl, use_stream)
+        alive = active & ~is_sent
+        nxt = take_small(count_arr, sym, meta.sigma + 1) + rank
+        # dead lanes scatter out of bounds -> dropped
+        tgt = jnp.where(alive, nxt, U32(n))
+        out = out.at[tgt].set(val - U32(1), mode="drop")
+        cont = alive & (nxt % U32(R) != 0)
+        pos = jnp.where(cont, nxt, pos)
+        val = jnp.where(cont, val - U32(1), val)
+        return pos, val, cont, out
+
+    return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _compact(pos, val, active, width: int):
+    idx = jnp.nonzero(active, size=width, fill_value=0)[0]
+    count = jnp.sum(active.astype(jnp.int32))
+    new_active = jnp.arange(width, dtype=jnp.int32) < count
+    return jnp.take(pos, idx), jnp.take(val, idx), new_active
+
+
+@functools.partial(jax.jit, donate_argnums=(4,), static_argnums=(0, 5))
+def _pull_wrap(meta, fused, count_arr, sentinel, out, limit: int):
+    """Resolve the unfilled wrap-segment rows by walking LF to a filled row."""
+    n = out.shape[0]
+    size = min(n, 1 << 16)
+    unfilled = out == _UNFILLED
+    n_unfilled = jnp.sum(unfilled.astype(jnp.int32))
+    rows = jnp.nonzero(unfilled, size=size, fill_value=0)[0].astype(jnp.uint32)
+    lane_ok = jnp.arange(size, dtype=jnp.int32) < n_unfilled
+
+    def cond(carry):
+        cur, off, res, resolved, it = carry
+        return jnp.any(~resolved) & (it < limit)
+
+    def body(carry):
+        cur, off, res, resolved, it = carry
+        # the sentinel row holds SA value 0 (locate/mod.rs:27-30)
+        is_sent = (cur == sentinel - U32(1)) & ~resolved
+        res = jnp.where(is_sent, off, res)
+        resolved = resolved | is_sent
+        curq = jnp.where(resolved, U32(0), cur)
+        rank, sym, _ = _decode(meta, fused, sentinel, curq, None, False)
+        nxt = take_small(count_arr, sym, meta.sigma + 1) + rank
+        off2 = off + U32(1)
+        lv = jnp.take(out, jnp.minimum(nxt, U32(n - 1)))
+        hit = ~resolved & (lv != _UNFILLED)
+        res = jnp.where(hit, lv + off2, res)
+        resolved = resolved | hit
+        cur = jnp.where(resolved, cur, nxt)
+        off = jnp.where(resolved, off, off2)
+        return cur, off, res, resolved, it + 1
+
+    cur = rows
+    off = jnp.zeros(size, U32)
+    res = jnp.zeros(size, U32)
+    resolved = ~lane_ok
+    cur, off, res, resolved, _ = jax.lax.while_loop(
+        cond, body, (cur, off, res, resolved, jnp.int32(0)))
+    tgt = jnp.where(lane_ok & resolved, rows, U32(n))
+    out = out.at[tgt].set(res, mode="drop")
+    return out, n_unfilled, jnp.sum((lane_ok & ~resolved).astype(jnp.int32))
+
+
+def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
+                        R: int, stream_tbl=None, use_stream: bool = False,
+                        rounds_per_call: int = 4):
+    """uint32 [n] device array == the full suffix array.
+
+    ``sa_up``: device uint32 [m] with ``sa_up[i] == SA[R*i]`` (i.e. the
+    blob's sampled SA strided down to ratio R).  ``R`` must satisfy
+    ``R*i < n`` for all i.  Results are bit-exact vs the builder's
+    ``sa_full`` output (tested).
+    """
+    m = sa_up.shape[0]
+    out = jnp.full(n, _UNFILLED, dtype=jnp.uint32)
+    known_rows = (jnp.arange(m, dtype=jnp.uint32) * U32(R))
+    out = out.at[known_rows].set(sa_up)
+    if n <= 1:
+        return out
+
+    width = 1 << max((m - 1).bit_length(), 10)
+    pos = jnp.zeros(width, U32).at[:m].set(known_rows)
+    val = jnp.zeros(width, U32).at[:m].set(sa_up)
+    active = jnp.arange(width, dtype=jnp.int32) < m
+
+    while True:
+        stream_now = bool(use_stream) and width >= (1 << 16)
+        pos, val, active, out = _push_rounds(
+            meta, fused, count_arr, sentinel, pos, val, active, out,
+            R, rounds_per_call, stream_now, stream_tbl)
+        c = int(jnp.sum(active.astype(jnp.int32)))
+        if c == 0:
+            break
+        while c <= width // 2 and width > 1024:
+            width //= 2
+            pos, val, active = _compact(pos, val, active, width)
+
+    # wrap segment: at most ~R + a geometric tail of rows remain
+    out, n_unfilled, n_unresolved = _pull_wrap(
+        meta, fused, count_arr, sentinel, out, limit=64 * R + 1024)
+    if int(n_unfilled) >= (1 << 16):
+        raise RuntimeError(
+            f"sa fill: {int(n_unfilled)} unfilled rows exceed the wrap-"
+            "segment bound — push phase incomplete")
+    if int(n_unresolved):
+        raise RuntimeError(
+            f"sa fill: {int(n_unresolved)} wrap rows failed to resolve")
+    return out

@@ -74,6 +74,7 @@ class DeviceFmIndex:
                   dense_lut_cache: str | None = None,
                   dense_host_entries: int = 1 << 20,
                   stream: bool = True, stream_tile: int | None = None,
+                  stream_derive: bool = True, sa_fill_ratio: int = 4,
                   sa_full: "np.ndarray | str | None" = None,
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
@@ -96,6 +97,13 @@ class DeviceFmIndex:
         instead of the LF walk (results are bit-identical; this is the same
         memoization move as the dense LUT — config invariance semantics).
 
+        ``stream_derive``: build the stream-join table ON DEVICE from the
+        uploaded fused table (bit-identical, avoids a host unpackbits pass
+        and a ~500 MB upload at Gbp scale); set False to build host-side.
+        ``sa_full="device"`` reconstructs the full SA on device from the
+        blob's sampled SA strided to ``sa_fill_ratio`` (uploading
+        1/sa_fill_ratio of the sampled array; see ``build/sa_fill.py``).
+
         ``derived_cache_dir``: directory for raw .npy caches of the derived
         device tables (fused gather table, stream-join table) so repeated
         uploads of the same blob skip the host-side derivation passes
@@ -108,6 +116,10 @@ class DeviceFmIndex:
             raise BuildError("device path currently requires positions < 2^32")
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
+
+        sa_device_fill = isinstance(sa_full, str) and sa_full == "device"
+        if sa_device_fill:
+            sa_full = None
 
         if isinstance(sa_full, str):
             # memmap, not fromfile: device_put DMAs straight from the page
@@ -169,15 +181,21 @@ class DeviceFmIndex:
 
         n_blocks = fm.rank_checkpoints.shape[0]
         sigma = fm.symbol_count
-        width = sigma + kind.num_planes * kind.num_lanes
+        # plane reduction: only ceil(log2 sigma) planes carry information —
+        # a Block3<u64> index over ACGT needs 2 device planes, not 3 (the
+        # upper blob planes are all-zero for symbols < 2^p).  Shrinks the
+        # fused table (and every rank gather) by (P-p)/(sigma/lanes+P).
+        planes_eff = min(kind.num_planes, max(1, (sigma - 1).bit_length()))
+        width = sigma + planes_eff * kind.num_lanes
 
         def _build_fused():
             fused = np.empty((n_blocks, width), dtype=np.uint32)
             fused[:, :sigma] = fm.rank_checkpoints.astype(np.uint32)
-            fused[:, sigma:] = np.ascontiguousarray(fm.lanes).reshape(n_blocks, -1)
+            fused[:, sigma:] = np.ascontiguousarray(
+                fm.lanes[:, :planes_eff, :]).reshape(n_blocks, -1)
             return fused
 
-        fused = _cached("fused", _build_fused)
+        fused = _cached(f"fused{planes_eff}", _build_fused)
 
         # int32, not uint8: gathers from sub-word tables hang the TPU
         # compiler (axon); a 1 KiB table costs nothing widened.
@@ -227,40 +245,65 @@ class DeviceFmIndex:
 
         if stream_tile is None:
             stream_tile = IndexMeta.stream_tile
-        if stream and sigma <= 63:
-            def _build_stream():
-                bwt = stream_join.bwt_from_planes(
-                    np.ascontiguousarray(fm.lanes), kind.num_planes, fm.text_len)
-                return stream_join.build_stream_table(sigma, bwt, stream_tile)
-
-            s_tbl = _cached(f"stream{stream_tile}", _build_stream)
-        else:
-            s_tbl = np.zeros((stream_join._rw(sigma), stream_tile), np.int32)
-
-        put = functools.partial(jax.device_put, device=device)
+        use_stream_engine = stream and sigma <= 63
         meta = IndexMeta(
             sigma=sigma,
             kmer_size=fm.kmer_size,
             sampling_ratio=fm.sampling_ratio,
             block_len=kind.block_len,
-            num_planes=kind.num_planes,
+            num_planes=planes_eff,
             num_lanes=kind.num_lanes,
             dense_k=dk,
-            stream_rows=s_tbl.shape[0] if (stream and sigma <= 63) else 0,
+            stream_rows=stream_join.stream_table_rows(
+                sigma, fm.text_len, stream_tile) if use_stream_engine else 0,
             stream_tile=stream_tile,
             enc_identity=enc_identity,
             enc_pairs=enc_pairs,
             enc_default=enc_default,
-            has_sa_full=sa_full is not None,
+            has_sa_full=(sa_full is not None) or sa_device_fill,
         )
-        if sa_full is not None:
-            sa_dev = sa_full.astype(np.uint32, copy=False)
-        else:
-            sa_dev = fm.suffix_array.astype(np.uint32)
 
+        put = functools.partial(jax.device_put, device=device)
         fused_dev = put(fused)
         count_dev = put(fm.count_array.astype(np.uint32))
         sent_dev = put(np.uint32(fm.sentinel_index))
+
+        if use_stream_engine:
+            if stream_derive:
+                stream_dev = stream_join.derive_stream_table(
+                    meta, fused_dev, fm.text_len, stream_tile)
+                if device is not None:
+                    stream_dev = jax.device_put(stream_dev, device)
+            else:
+                def _build_stream():
+                    bwt = stream_join.bwt_from_planes(
+                        np.ascontiguousarray(fm.lanes), kind.num_planes,
+                        fm.text_len)
+                    return stream_join.build_stream_table(sigma, bwt,
+                                                          stream_tile)
+
+                stream_dev = put(_cached(f"stream{stream_tile}", _build_stream))
+        else:
+            stream_dev = put(np.zeros((stream_join._rw(sigma), stream_tile),
+                                      np.int32))
+
+        if sa_device_fill:
+            from ..build.sa_fill import fill_sa_full_device
+
+            ratio = max(int(sa_fill_ratio), 1)
+            sa_up = put(np.ascontiguousarray(
+                fm.suffix_array[::ratio]).astype(np.uint32))
+            sa_dev = fill_sa_full_device(
+                meta, fused_dev, count_dev, sent_dev, sa_up,
+                fm.text_len, fm.sampling_ratio * ratio,
+                stream_tbl=stream_dev,
+                use_stream=(use_stream_engine
+                            and jax.default_backend() == "tpu"))
+        elif sa_full is not None:
+            sa_dev = put(sa_full.astype(np.uint32, copy=False))
+        else:
+            sa_dev = put(fm.suffix_array.astype(np.uint32))
+
         dlo_dev, dhi_dev = put(d_lo), put(d_hi)
         if dk and dk > dk_host:
             from ..build.dense_lut import extend_dense_lut_device
@@ -274,10 +317,10 @@ class DeviceFmIndex:
             dense_lo=dlo_dev,
             dense_hi=dhi_dev,
             count_arr=count_dev,
-            sa=put(sa_dev),
+            sa=sa_dev,
             sentinel=sent_dev,
             enc_table=put(enc_table),
-            stream_tbl=put(s_tbl),
+            stream_tbl=stream_dev,
             meta=meta,
         )
 

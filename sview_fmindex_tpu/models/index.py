@@ -145,17 +145,19 @@ class FmIndex:
     def blob(self) -> np.ndarray:
         return self._blob
 
-    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 20,
+    def to_device(self, device=None, dense_lut_entries: int | None = 1 << 26,
                   dense_lut_cache: str | None = None,
-                  dense_host_entries: int = 1 << 26, sa_full=None,
+                  dense_host_entries: int = 1 << 20, sa_full=None,
                   stream: bool = True, stream_tile: int | None = None,
+                  stream_derive: bool = True, sa_fill_ratio: int = 4,
                   derived_cache_dir: str | None = None):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries.
 
-        ``sa_full``: optional full (r=1) suffix array (uint32 array or raw
-        file path); ``derived_cache_dir``: persist the derived device
-        tables (fused, stream) across processes — see
-        ``DeviceFmIndex.from_host``.
+        ``sa_full``: optional full (r=1) suffix array — uint32 array, raw
+        file path, or the string ``"device"`` to reconstruct it ON DEVICE
+        from the blob's sampled SA (minimal host->device transfer; see
+        ``build/sa_fill.py``).  ``derived_cache_dir``: persist the derived
+        device tables across processes — see ``DeviceFmIndex.from_host``.
         """
         from .device_index import DeviceFmIndex
 
@@ -164,6 +166,7 @@ class FmIndex:
             dense_lut_cache=dense_lut_cache,
             dense_host_entries=dense_host_entries, sa_full=sa_full,
             stream=stream, stream_tile=stream_tile,
+            stream_derive=stream_derive, sa_fill_ratio=sa_fill_ratio,
             derived_cache_dir=derived_cache_dir,
         )
 

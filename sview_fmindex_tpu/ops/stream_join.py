@@ -110,6 +110,61 @@ def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
     return np.ascontiguousarray(out).view(np.int32)
 
 
+def stream_table_rows(sigma: int, text_len: int, tile_rows: int) -> int:
+    """Host-side row count of the stream table (``meta.stream_rows``)."""
+    n_blocks = text_len // SBL + 1
+    n_tiles = -(-n_blocks // tile_rows)
+    return n_tiles * _rw(sigma)
+
+
+def derive_stream_table(meta, fused: jax.Array, text_len: int,
+                        tile_rows: int) -> jax.Array:
+    """Build the stream table ON DEVICE from the fused gather table.
+
+    Bit-identical to :func:`build_stream_table`'s output, but as a
+    reshape/slice/transpose program over data already in HBM — at Gbp scale
+    the host build (unpackbits over GBs) plus the 500 MB upload cost ~60 s
+    of wall time through a ~30 MB/s tunnel; this runs in well under a
+    second on device.
+
+    Works because both tables carry the same information at different
+    granularity: the fused table's MSB-first uint32 plane lanes re-group
+    directly into SBL=128-position stream blocks (``BL <= 128`` for every
+    Block kind), and a stream block's checkpoint (count of each symbol
+    before position ``128*b``) IS the fused checkpoint of fused block
+    ``(128//BL)*b``.  Stream planes are the low ``_planes_for(sigma)``
+    fused planes (upper planes are all-zero when sigma < 2**num_planes).
+    """
+    sigma = meta.sigma
+    BL = meta.block_len
+    assert SBL % BL == 0, (SBL, BL)
+    g = SBL // BL  # fused blocks per stream block
+    P = _planes_for(sigma)
+    assert P <= meta.num_planes, (P, meta.num_planes)
+    RW = _rw(sigma)
+    fl = meta.num_lanes
+    n_blocks_s = text_len // SBL + 1
+    n_pad = -(-n_blocks_s // tile_rows) * tile_rows
+    n_tiles = n_pad // tile_rows
+    need_f = n_pad * g
+    nbf = fused.shape[0]
+    if need_f > nbf:
+        fpad = jnp.concatenate(
+            [fused, jnp.zeros((need_f - nbf, fused.shape[1]), fused.dtype)])
+    else:
+        fpad = fused[:need_f]
+    ckpt = fpad[::g, :sigma]  # [n_pad, sigma]
+    planes = fpad[:, sigma : sigma + P * fl].reshape(n_pad, g, P, fl)
+    planes = jnp.transpose(planes, (0, 2, 1, 3)).reshape(n_pad, P * LANES)
+    big = jnp.concatenate(
+        [ckpt, planes,
+         jnp.zeros((n_pad, RW - sigma - P * LANES), jnp.uint32)], axis=1)
+    out = (big.reshape(n_tiles, tile_rows, RW)
+           .transpose(0, 2, 1)
+           .reshape(n_tiles * RW, tile_rows))
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # the join kernel
 # ---------------------------------------------------------------------------

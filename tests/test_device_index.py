@@ -336,7 +336,7 @@ def test_derived_cache_roundtrip_and_stale_guard(tmp_path):
             assert counts[i] == fm.count(p), (i, p)
     # two texts -> two distinct fused caches on disk
     import os
-    fused_files = [f for f in os.listdir(cache) if f.startswith("fused_")]
+    fused_files = [f for f in os.listdir(cache) if f.startswith("fused")]
     assert len(fused_files) == 2, fused_files
 
 

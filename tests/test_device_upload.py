@@ -1,0 +1,93 @@
+"""Minimal-transfer upload paths: device-derived stream table and
+on-device sa_full reconstruction (build/sa_fill.py).
+
+Cold start through a slow host->device link is dominated by bytes moved;
+these paths derive the stream-join table and the full suffix array ON
+DEVICE from the (much smaller) fused table + strided sampled SA.  Both
+must be bit-identical to their host-built equivalents.
+"""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import sview_fmindex_tpu as fmx
+from sview_fmindex_tpu.ops import stream_join as sj
+
+
+def _build(text, symbols, block, r=2, k=3, sa_full_path=None):
+    enc = fmx.EncodingTable.from_symbols(symbols)
+    b = fmx.FmIndexBuilder(
+        len(text), enc.symbol_count(), enc, position="u32", block=block,
+        suffix_array_config=fmx.SuffixArrayConfig.compressed(r),
+        lookup_table_config=fmx.LookupTableConfig.kmer_size(k))
+    blob = b.build(text, sa_full_path=sa_full_path)
+    return fmx.FmIndex.load(np.frombuffer(blob, np.uint8), position="u32",
+                            block=block, encoder_kind="table")
+
+
+@pytest.mark.parametrize("block,n", [
+    (fmx.BLOCK3_U64, 5003),   # plane reduction: 3 blob planes -> 2 device
+    (fmx.BLOCK2_U32, 777),    # BL=32: 4 fused blocks per stream block
+    (fmx.BLOCK3_U128, 4096),  # BL=128: 1 fused block per stream block
+])
+def test_derived_stream_table_matches_host_build(block, n):
+    rng = np.random.default_rng(n)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    fm = _build(text, [b"A", b"C", b"G", b"T"], block)
+    host = fm.to_device(stream=True, stream_derive=False, dense_lut_entries=0)
+    derived = np.asarray(sj.derive_stream_table(
+        host.meta, host.fused, n, host.meta.stream_tile))
+    np.testing.assert_array_equal(np.asarray(host.stream_tbl), derived)
+    assert sj.stream_table_rows(fm.symbol_count, n, host.meta.stream_tile) \
+        == derived.shape[0]
+
+
+@pytest.mark.parametrize("n,ratio", [(10007, 4), (4096, 2), (733, 8)])
+def test_sa_device_fill_matches_builder(n, ratio):
+    rng = np.random.default_rng(n * 7 + ratio)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "sa.u32")
+        fm = _build(text, [b"A", b"C", b"G", b"T"], fmx.BLOCK3_U64,
+                    sa_full_path=p)
+        sa_true = np.fromfile(p, dtype="<u4")
+    dev = fm.to_device(sa_full="device", sa_fill_ratio=ratio,
+                       dense_lut_entries=0)
+    assert dev.meta.has_sa_full
+    np.testing.assert_array_equal(np.asarray(dev.sa), sa_true)
+
+
+def test_sa_device_fill_query_parity():
+    """End-to-end: sa_full='device' locate == host oracle == walk locate."""
+    rng = np.random.default_rng(99)
+    n = 3001
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    fm = _build(text, [b"A", b"C", b"G", b"T"], fmx.BLOCK3_U64)
+    dev_fill = fm.to_device(sa_full="device", dense_lut_entries=0)
+    dev_walk = fm.to_device(dense_lut_entries=0)
+    starts = rng.integers(0, n - 12, size=32)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(12)]
+    lens = np.full(32, 12, np.int32)
+    c0 = np.asarray(dev_walk.count(pats, lens))
+    c1 = np.asarray(dev_fill.count(pats, lens))
+    np.testing.assert_array_equal(c0, c1)
+    l0, p0, v0, d0 = map(np.asarray, dev_fill.locate(pats, lens))
+    assert int(d0[0]) == 0
+    by = {}
+    for l, p, v in zip(l0, p0, v0):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(32):
+        assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes()))
+
+
+def test_plane_reduced_fused_width():
+    """sigma=4 over a Block3 blob keeps only 2 device planes."""
+    rng = np.random.default_rng(5)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600))
+    fm = _build(text, [b"A", b"C", b"G", b"T"], fmx.BLOCK3_U64)
+    dev = fm.to_device(dense_lut_entries=0)
+    assert dev.meta.num_planes == 2
+    assert dev.fused.shape[1] == 4 + 2 * 2  # sigma + planes_eff * lanes
