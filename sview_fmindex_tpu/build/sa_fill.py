@@ -77,6 +77,17 @@ def _push_rounds(meta, fused, count_arr, sentinel, pos, val, active, out,
     return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _seed(sa_up, n: int, R: int, width: int):
+    m = sa_up.shape[0]
+    known = jnp.arange(m, dtype=jnp.uint32) * U32(R)
+    out = jnp.full(n, _UNFILLED, dtype=jnp.uint32).at[known].set(sa_up)
+    pos = jnp.zeros(width, U32).at[:m].set(known)
+    val = jnp.zeros(width, U32).at[:m].set(sa_up)
+    active = jnp.arange(width, dtype=jnp.int32) < m
+    return out, pos, val, active
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _compact(pos, val, active, width: int):
     idx = jnp.nonzero(active, size=width, fill_value=0)[0]
@@ -138,28 +149,35 @@ def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
     ``R*i < n`` for all i.  Results are bit-exact vs the builder's
     ``sa_full`` output (tested).
     """
+    import os
+    import time
+
+    verbose = os.environ.get("SVIEW_SA_FILL_LOG", "") not in ("", "0")
     m = sa_up.shape[0]
-    out = jnp.full(n, _UNFILLED, dtype=jnp.uint32)
-    known_rows = (jnp.arange(m, dtype=jnp.uint32) * U32(R))
-    out = out.at[known_rows].set(sa_up)
+    width = 1 << max((m - 1).bit_length(), 10)
+    # one jitted program: eager .at[].set on a 4 GB buffer double-allocates
+    # (no donation outside jit); fused full+scatter peaks at ONE buffer
+    out, pos, val, active = _seed(sa_up, n, R, width)
     if n <= 1:
         return out
 
-    width = 1 << max((m - 1).bit_length(), 10)
-    pos = jnp.zeros(width, U32).at[:m].set(known_rows)
-    val = jnp.zeros(width, U32).at[:m].set(sa_up)
-    active = jnp.arange(width, dtype=jnp.int32) < m
-
     while True:
-        stream_now = bool(use_stream) and width >= (1 << 16)
+        # stream decode only for the few widest rounds: each (width, engine)
+        # pair is its own compiled program AND pays a one-time executable
+        # load; the 4x compaction ladder bounds the program count
+        stream_now = bool(use_stream) and width >= (1 << 24)
+        t0 = time.time()
         pos, val, active, out = _push_rounds(
             meta, fused, count_arr, sentinel, pos, val, active, out,
             R, rounds_per_call, stream_now, stream_tbl)
         c = int(jnp.sum(active.astype(jnp.int32)))
+        if verbose:
+            print(f"[sa_fill] width={width} stream={stream_now} "
+                  f"active={c} ({time.time()-t0:.2f}s)", flush=True)
         if c == 0:
             break
-        while c <= width // 2 and width > 1024:
-            width //= 2
+        while c <= width // 4 and width > 4096:
+            width //= 4
             pos, val, active = _compact(pos, val, active, width)
 
     # wrap segment: at most ~R + a geometric tail of rows remain

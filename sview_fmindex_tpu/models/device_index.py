@@ -284,7 +284,8 @@ class DeviceFmIndex:
 
                 stream_dev = put(_cached(f"stream{stream_tile}", _build_stream))
         else:
-            stream_dev = put(np.zeros((stream_join._rw(sigma), stream_tile),
+            stream_dev = put(np.zeros((stream_join._layout(
+                sigma, stream_tile)[0], stream_tile),
                                       np.int32))
 
         if sa_device_fill:

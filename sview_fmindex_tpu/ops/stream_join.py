@@ -62,7 +62,35 @@ def _planes_for(sigma: int) -> int:
 
 
 def _rw(sigma: int) -> int:
-    return -(-(sigma + _planes_for(sigma) * LANES) // 8) * 8
+    """Rows per stream block: sigma checkpoint words + plane lanes — EXACT,
+    no 8-row padding (v3 layout).  Mosaic's 8-sublane block divisibility is
+    satisfied by grouping ``_group(sigma)`` tiles per pipeline block
+    instead of padding rows: at sigma=4 this streams 48 B per 128
+    positions instead of 64 B — a 25% cut in the per-pass HBM floor."""
+    return sigma + _planes_for(sigma) * LANES
+
+
+def _group(sigma: int, tile_rows: int) -> int:
+    """Tiles per Pallas pipeline block.  G=2 when that makes the block
+    8-sublane divisible (r % 4 == 0, e.g. sigma=4 -> r=12); the kernel body
+    is emitted once per residue with STATIC row offsets (Mosaic rejects
+    dynamic sublane starts but handles unaligned static ones), so G is
+    capped at 2 to bound code size — other shapes fall back to padding."""
+    r = _rw(sigma)
+    if r % 8 == 0:
+        return 1
+    if r % 4 == 0 and 2 * r * tile_rows * 4 <= (4 << 20):
+        return 2
+    return 0  # sentinel: pad rows to a multiple of 8 instead
+
+
+def _layout(sigma: int, tile_rows: int) -> tuple[int, int]:
+    """(rows_per_tile, tiles_per_block).  tiles_per_block == 1 with padded
+    rows when grouping would blow the VMEM budget."""
+    g = _group(sigma, tile_rows)
+    if g == 0:
+        return -(-_rw(sigma) // 8) * 8, 1
+    return _rw(sigma), g
 
 
 # ---------------------------------------------------------------------------
@@ -80,10 +108,10 @@ def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
     """
     n = bwt_symbols.shape[0]
     n_blocks = n // SBL + 1
-    n_blocks_pad = -(-n_blocks // tile_rows) * tile_rows
-    n_tiles = n_blocks_pad // tile_rows
+    RW, G = _layout(sigma, tile_rows)
+    n_tiles = -(-(-(-n_blocks // tile_rows)) // G) * G
+    n_blocks_pad = n_tiles * tile_rows
     P = _planes_for(sigma)
-    RW = _rw(sigma)
 
     pad_len = n_blocks * SBL - n
     sym_padded = np.concatenate(
@@ -113,10 +141,12 @@ def build_stream_table(sigma: int, bwt_symbols: np.ndarray,
 def stream_table_rows(sigma: int, text_len: int, tile_rows: int) -> int:
     """Host-side row count of the stream table (``meta.stream_rows``)."""
     n_blocks = text_len // SBL + 1
-    n_tiles = -(-n_blocks // tile_rows)
-    return n_tiles * _rw(sigma)
+    RW, G = _layout(sigma, tile_rows)
+    n_tiles = -(-(-(-n_blocks // tile_rows)) // G) * G
+    return n_tiles * RW
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def derive_stream_table(meta, fused: jax.Array, text_len: int,
                         tile_rows: int) -> jax.Array:
     """Build the stream table ON DEVICE from the fused gather table.
@@ -141,27 +171,41 @@ def derive_stream_table(meta, fused: jax.Array, text_len: int,
     g = SBL // BL  # fused blocks per stream block
     P = _planes_for(sigma)
     assert P <= meta.num_planes, (P, meta.num_planes)
-    RW = _rw(sigma)
+    RW, G = _layout(sigma, tile_rows)
     fl = meta.num_lanes
+    Wf = fused.shape[1]
     n_blocks_s = text_len // SBL + 1
-    n_pad = -(-n_blocks_s // tile_rows) * tile_rows
-    n_tiles = n_pad // tile_rows
-    need_f = n_pad * g
-    nbf = fused.shape[0]
-    if need_f > nbf:
-        fpad = jnp.concatenate(
-            [fused, jnp.zeros((need_f - nbf, fused.shape[1]), fused.dtype)])
+    n_tiles = -(-(-(-n_blocks_s // tile_rows)) // G) * G
+    n_pad = n_tiles * tile_rows
+    # 1-D strided construction: every stream word w is a stride-(g*Wf)
+    # slice of the flattened fused table.  Intermediates with tiny minor
+    # dims ([n_pad, RW], [need, Wf]) blow up 8-16x under TPU (8,128)
+    # layout tiling and OOM at Gbp scale — everything here stays 1-D or
+    # [*, tile_rows]-minor.
+    stride = g * Wf
+    need = n_pad * stride
+    f1 = fused.reshape(-1)
+    if need > f1.shape[0]:
+        f1 = jnp.concatenate(
+            [f1, jnp.zeros(need - f1.shape[0], jnp.uint32)])
     else:
-        fpad = fused[:need_f]
-    ckpt = fpad[::g, :sigma]  # [n_pad, sigma]
-    planes = fpad[:, sigma : sigma + P * fl].reshape(n_pad, g, P, fl)
-    planes = jnp.transpose(planes, (0, 2, 1, 3)).reshape(n_pad, P * LANES)
-    big = jnp.concatenate(
-        [ckpt, planes,
-         jnp.zeros((n_pad, RW - sigma - P * LANES), jnp.uint32)], axis=1)
-    out = (big.reshape(n_tiles, tile_rows, RW)
-           .transpose(0, 2, 1)
-           .reshape(n_tiles * RW, tile_rows))
+        f1 = f1[:need]
+
+    def word(w: int) -> jax.Array:
+        if w < sigma:
+            off = w  # checkpoint word of the stream block's first fused block
+        else:
+            q = w - sigma
+            p, l = q // LANES, q % LANES
+            off = (l // fl) * Wf + sigma + p * fl + (l % fl)
+        return jax.lax.slice(f1, (off,), (off + (n_pad - 1) * stride + 1,),
+                             (stride,))
+
+    zero = jnp.zeros((n_tiles, tile_rows), jnp.uint32)
+    rows = [word(w).reshape(n_tiles, tile_rows)
+            if w < sigma + P * LANES else zero
+            for w in range(RW)]
+    out = jnp.stack(rows, axis=1).reshape(n_tiles * RW, tile_rows)
     return jax.lax.bitcast_convert_type(out, jnp.int32)
 
 
@@ -176,9 +220,14 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
 
     Queries live in HBM as [N/128, 128] rows; a chunk is CR = C/128 rows,
     processed in CR sub-chunks of 128 queries each.
+
+    One pipeline block covers G consecutive tiles (v3 layout — exact RW
+    rows per tile, Mosaic's 8-sublane divisibility satisfied by the G*RW
+    block); consecutive grid steps revisit the same block index, so Pallas
+    fetches it once.
     """
     P = _planes_for(sigma)
-    RW = _rw(sigma)
+    RW, G = _layout(sigma, T)
     CR = C // 128
     n_groups = T // 128
 
@@ -203,7 +252,10 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
             out_buf[:] = jnp.zeros_like(out_buf)
             out2_buf[:] = jnp.zeros_like(out2_buf)
 
-        def sub_chunk(j):
+        def sub_chunk(j, base):
+            # ``base`` is STATIC (the kernel body is emitted once per t%G
+            # residue): Mosaic rejects dynamic sublane starts but compiles
+            # unaligned static slices like [12:24, :] fine.
             pos_row = pos_buf[j].reshape(1, 128)                 # [1,128] u32
             blk = (pos_row >> SBL_SHIFT).astype(jnp.int32)
             mine = (blk >= win_lo) & (blk < win_hi)              # [1,128]
@@ -220,7 +272,8 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
                 acc = jnp.zeros((RW, 128), jnp.int32)
                 for g in range(n_groups):
                     part = jnp.take_along_axis(
-                        tile_ref[:, g * 128 : (g + 1) * 128], lane, axis=1)
+                        tile_ref[base : base + RW, g * 128 : (g + 1) * 128],
+                        lane, axis=1)
                     acc = jnp.where(grp == g, part, acc)
                 words = acc.astype(jnp.uint32)                   # [RW,128]
 
@@ -277,8 +330,15 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
 
             @pl.when(minblk < win_hi)
             def _():
-                for j in range(CR):
-                    sub_chunk(j)
+                if G == 1:
+                    for j in range(CR):
+                        sub_chunk(j, 0)
+                else:
+                    for gi in range(G):
+                        @pl.when(t % G == gi)
+                        def _(gi=gi):
+                            for j in range(CR):
+                                sub_chunk(j, gi * RW)
 
             c = smem[0]
             done_chunk = maxblk < win_hi
@@ -313,13 +373,15 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
 def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
              decode: bool, interpret: bool):
     kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode)
+    G = _layout(sigma, T)[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((RW, T), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * RW, T), lambda t: (t // G, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -372,21 +434,34 @@ def rank_next_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
     """Batched ``get_next_rank`` via sort-join.  pos u32 [N], sym i32 [N]
     (sym must be < 64).  Bit-exact vs ``ops.rank.rank_next``."""
     n = pos.shape[0]
-    RW = _rw(meta.sigma)
+    RW = _layout(meta.sigma, T)[0]
     n_tiles = meta.stream_rows // RW
     n_pos_rows = n_tiles * T
     N = _pad_len(n, C)
+    pad = N - n
 
     p = pos + (pos < sentinel).astype(U32)
-    packed = (jnp.arange(n, dtype=jnp.int32) << 6) | sym
-    sp, sm = jax.lax.sort((p, packed), num_keys=1)
-    pad = N - n
+    if n < (1 << 25):
+        # packed payload idx<<6|sym fits int32 only below 2^25 lanes
+        packed = (jnp.arange(n, dtype=jnp.int32) << 6) | sym
+        sp, sm = jax.lax.sort((p, packed), num_keys=1)
+        sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
+        sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
+        join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False,
+                        _use_interpret())
+        ranks, _ = join(sp, sm, table_i32)
+        _, unsorted = jax.lax.sort((sm, ranks), num_keys=1)
+        return unsorted[:n]
+    # large-N path (e.g. the upload-time SA fill): carry idx and sym as
+    # separate sort operands instead of the packed word
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sp, si, ss = jax.lax.sort((p, idx, sym), num_keys=1)
     sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
-    sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
-
+    si = jnp.concatenate([si, jnp.arange(pad, dtype=jnp.int32) + n])
+    ss = jnp.concatenate([ss, jnp.zeros(pad, jnp.int32)])
     join = _join_fn(meta.sigma, T, C, n_tiles, N // C, False, _use_interpret())
-    ranks, _ = join(sp, sm, table_i32)
-    _, unsorted = jax.lax.sort((sm, ranks), num_keys=1)
+    ranks, _ = join(sp, ss, table_i32)
+    _, unsorted = jax.lax.sort((si, ranks), num_keys=1)
     return unsorted[:n]
 
 
@@ -398,22 +473,32 @@ def pre_rank_and_symidx_sorted(meta, table_i32: jax.Array, sentinel: jax.Array,
     are garbage where is_sentinel (caller masks), matching ``ops.rank``.
     """
     n = pos.shape[0]
-    RW = _rw(meta.sigma)
+    RW = _layout(meta.sigma, T)[0]
     n_tiles = meta.stream_rows // RW
     n_pos_rows = n_tiles * T
     N = _pad_len(n, C)
+    pad = N - n
 
     is_sentinel = pos == (sentinel - U32(1))
     p = pos + (pos < sentinel).astype(U32)
-    packed = jnp.arange(n, dtype=jnp.int32) << 6
-    sp, sm = jax.lax.sort((p, packed), num_keys=1)
-    pad = N - n
+    if n < (1 << 25):
+        packed = jnp.arange(n, dtype=jnp.int32) << 6
+        sp, sm = jax.lax.sort((p, packed), num_keys=1)
+        sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
+        sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
+        join = _join_fn(meta.sigma, T, C, n_tiles, N // C, True,
+                        _use_interpret())
+        ranks, syms = join(sp, sm, table_i32)
+        _, r_u, s_u = jax.lax.sort((sm, ranks, syms), num_keys=1)
+        return r_u[:n], s_u[:n], is_sentinel
+    # large-N path: unpacked index payload (idx<<6 overflows int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sp, si = jax.lax.sort((p, idx), num_keys=1)
     sp = jnp.concatenate([sp, jnp.full((pad,), n_pos_rows * SBL - 1, U32)])
-    sm = jnp.concatenate([sm, (jnp.arange(pad, dtype=jnp.int32) + n) << 6])
-
+    si = jnp.concatenate([si, jnp.arange(pad, dtype=jnp.int32) + n])
     join = _join_fn(meta.sigma, T, C, n_tiles, N // C, True, _use_interpret())
-    ranks, syms = join(sp, sm, table_i32)
-    _, r_u, s_u = jax.lax.sort((sm, ranks, syms), num_keys=1)
+    ranks, syms = join(sp, jnp.zeros_like(si), table_i32)
+    _, r_u, s_u = jax.lax.sort((si, ranks, syms), num_keys=1)
     return r_u[:n], s_u[:n], is_sentinel
 
 
