@@ -52,7 +52,6 @@ BIG_BATCH = int(float(os.environ.get("BENCH_BIG_BATCH", "1e6")))
 PATTERN_LEN = 20
 SEED = 42
 BASELINE_LOCATE_QPS = 2.3e5  # BASELINE.md derived anchor
-REPS = 8
 
 CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", os.path.join(os.path.dirname(__file__), "bench_cache"))
 
@@ -71,10 +70,6 @@ def get_text() -> bytes:
     os.makedirs(CACHE_DIR, exist_ok=True)
     text.tofile(path)
     return text.tobytes()
-
-
-def sa_full_path() -> str:
-    return os.path.join(CACHE_DIR, f"sa_full_{TEXT_SIZE}_{SEED}.u32")
 
 
 def get_blob(text: bytes):
@@ -98,7 +93,7 @@ def get_blob(text: bytes):
         )
         t0 = time.time()
         os.makedirs(CACHE_DIR, exist_ok=True)
-        blob = builder.build(text, sa_full_path=sa_full_path())
+        blob = builder.build(text)
         build_s = time.time() - t0
         log(f"[bench] built index for {TEXT_SIZE} bp in {build_s:.1f}s "
             f"({len(blob)/2**20:.0f} MiB); caching")
@@ -142,14 +137,19 @@ def main() -> None:
     log(f"[bench] blob load: {time.time()-t0:.2f}s (build_s={build_s:.1f})")
 
     t0 = time.time()
-    sa_full = sa_full_path() if os.path.exists(sa_full_path()) else None
+    # minimal-transfer upload (the tunnel runs ~30 MB/s, so bytes moved
+    # dominate cold start): only the fused table + sampled-SA/4 cross the
+    # link; the stream + pair tables and the full SA are derived ON DEVICE
+    # (derive_stream_table / build_pair_table_device / fill_sa_full_device).
     # dk=14 seed table: dk10 host-built (~4 s), 4 levels extended ON DEVICE
     # (extend_dense_lut_device) — the dk13 host pass alone took ~19 min
     dev = fm.to_device(dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
-                       sa_full=sa_full, derived_cache_dir=CACHE_DIR)
+                       sa_full="device", sa_fill_ratio=4,
+                       derived_cache_dir=CACHE_DIR)
     upload_s = time.time() - t0
     log(f"[bench] device upload (dense_k={dev.meta.dense_k}, "
-        f"sa_full={dev.meta.has_sa_full}): {upload_s:.2f}s")
+        f"sa_full={dev.meta.has_sa_full}, pair={dev.meta.pair_rows > 0}): "
+        f"{upload_s:.2f}s")
 
     rng = np.random.default_rng(SEED + 1)
     text_arr = np.frombuffer(text, np.uint8)
@@ -165,6 +165,7 @@ def main() -> None:
     first_query_s = None
     batches = [PATTERN_COUNT] + ([BIG_BATCH] if BIG_BATCH else [])
     for B in batches:
+        REPS = max(8, min(32, int(4e6 // B)))
         patterns, lens, patterns_np = make_batch(B)
         r = {}
 

@@ -41,6 +41,8 @@ class IndexMeta:
     dense_k: int = 0  # device-side dense seed-table k (0 = disabled)
     stream_rows: int = 0  # stream-join table rows (0 = streaming disabled)
     stream_tile: int = 8192  # stream-join tile blocks (measured optimum)
+    pair_rows: int = 0  # 2-step pair table rows (0 = disabled)
+    wide_pos: bool = False  # two-lane u32 positions (texts >= 2^32)
     # static encoder content (compare-select encode instead of a 256-entry
     # gather, which is latency-bound at ~18 ns/byte on TPU):
     enc_identity: bool = False  # PassThrough: bytes ARE symbol indices
@@ -52,7 +54,8 @@ class IndexMeta:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["fused", "kmer_tbl", "dense_lo", "dense_hi", "count_arr",
-                 "sa", "sentinel", "enc_table", "stream_tbl"],
+                 "sa", "sentinel", "enc_table", "stream_tbl", "pair_tbl",
+                 "pair_c2", "pair_fix"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +69,9 @@ class DeviceFmIndex:
     sentinel: jax.Array
     enc_table: jax.Array
     stream_tbl: jax.Array
+    pair_tbl: jax.Array
+    pair_c2: jax.Array
+    pair_fix: jax.Array
     meta: IndexMeta
 
     # ------------------------------------------------------------------
@@ -76,6 +82,7 @@ class DeviceFmIndex:
                   stream: bool = True, stream_tile: int | None = None,
                   stream_derive: bool = True, sa_fill_ratio: int = 4,
                   sa_full: "np.ndarray | str | None" = None,
+                  pair: bool = True, force_wide: bool = False,
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
@@ -112,8 +119,11 @@ class DeviceFmIndex:
         different text can never be served.
         """
         kind = fm.block
-        if fm.text_len >= 2**32:
-            raise BuildError("device path currently requires positions < 2^32")
+        wide = force_wide or fm.text_len >= 2**32
+        if wide:
+            # two-lane u32 position engine (ops/wide.py): gather engine
+            # only, no dense seeds / stream / pair / sa_full
+            return cls._from_host_wide(fm, device=device)
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
 
@@ -246,6 +256,11 @@ class DeviceFmIndex:
         if stream_tile is None:
             stream_tile = IndexMeta.stream_tile
         use_stream_engine = stream and sigma <= 63
+        # 2-step pair table: two pattern symbols per stream pass
+        # (build/pair_table.py) — halves the sort + kernel-pass count that
+        # dominates mid-size batches.  sigma^2 must fit the kernel's
+        # symbol budget.
+        use_pair = pair and use_stream_engine and sigma * sigma <= 63
         meta = IndexMeta(
             sigma=sigma,
             kmer_size=fm.kmer_size,
@@ -257,6 +272,8 @@ class DeviceFmIndex:
             stream_rows=stream_join.stream_table_rows(
                 sigma, fm.text_len, stream_tile) if use_stream_engine else 0,
             stream_tile=stream_tile,
+            pair_rows=stream_join.stream_table_rows(
+                sigma * sigma, fm.text_len, stream_tile) if use_pair else 0,
             enc_identity=enc_identity,
             enc_pairs=enc_pairs,
             enc_default=enc_default,
@@ -287,6 +304,17 @@ class DeviceFmIndex:
             stream_dev = put(np.zeros((stream_join._layout(
                 sigma, stream_tile)[0], stream_tile),
                                       np.int32))
+
+        if use_pair:
+            from ..build.pair_table import build_pair_table_device
+
+            pair_tbl, pair_c2, pair_fix = build_pair_table_device(
+                meta, fused_dev, count_dev, sent_dev, fm.text_len,
+                stream_tile)
+        else:
+            pair_tbl = put(np.zeros((8, stream_tile), np.int32))
+            pair_c2 = put(np.zeros(max(sigma * sigma, 1), np.uint32))
+            pair_fix = put(np.array([0xFFFFFFFF, 0], np.uint32))
 
         if sa_device_fill:
             from ..build.sa_fill import fill_sa_full_device
@@ -322,6 +350,85 @@ class DeviceFmIndex:
             sentinel=sent_dev,
             enc_table=put(enc_table),
             stream_tbl=stream_dev,
+            pair_tbl=pair_tbl,
+            pair_c2=pair_c2,
+            pair_fix=pair_fix,
+            meta=meta,
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def _from_host_wide(cls, fm, device=None) -> "DeviceFmIndex":
+        """Upload with two-lane u32 position values (texts >= 2^32).
+
+        The reference's u64 ``Position`` (``text_length.rs:87-129``) on a
+        32-bit device ISA: value arrays split into (hi, lo) uint32 lanes,
+        block indices stay uint32 (valid to 2^38 bp).  See ``ops/wide.py``
+        for the restrictions (gather engine, power-of-two sampling ratio).
+        """
+        kind = fm.block
+        if fm.text_len >= 2**38:
+            raise BuildError("wide device path requires text_len < 2^38 "
+                             "(block indices must fit uint32)")
+        if len(fm.kmer_count_table) >= 2**31:
+            raise BuildError("kmer table too large for int32 device indexing")
+        r = fm.sampling_ratio
+        if r < 2 or r & (r - 1):
+            raise BuildError(
+                "wide device path requires a power-of-two sampling ratio "
+                ">= 2 (the locate walk's div/mod must stay lane-local)")
+
+        n_blocks = fm.rank_checkpoints.shape[0]
+        sigma = fm.symbol_count
+        planes_eff = min(kind.num_planes, max(1, (sigma - 1).bit_length()))
+        width = 2 * sigma + planes_eff * kind.num_lanes
+        fused = np.empty((n_blocks, width), dtype=np.uint32)
+        ck = fm.rank_checkpoints.astype(np.uint64)
+        fused[:, :sigma] = (ck >> np.uint64(32)).astype(np.uint32)
+        fused[:, sigma : 2 * sigma] = (ck & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32)
+        fused[:, 2 * sigma :] = np.ascontiguousarray(
+            fm.lanes[:, :planes_eff, :]).reshape(n_blocks, -1)
+
+        def split2(a):
+            a = np.asarray(a, dtype=np.uint64)
+            return np.stack([(a >> np.uint64(32)).astype(np.uint32),
+                             (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+
+        if isinstance(fm.encoder, EncodingTable):
+            enc_table = fm.encoder.table.astype(np.int32)
+            enc_identity = False
+            enc_default = int(np.bincount(enc_table, minlength=1).argmax())
+            enc_pairs = tuple(
+                (int(v), int(enc_table[v]))
+                for v in range(256) if enc_table[v] != enc_default)
+        else:
+            enc_table = np.arange(256, dtype=np.int32)
+            enc_identity = True
+            enc_default = 0
+            enc_pairs = ()
+
+        meta = IndexMeta(
+            sigma=sigma, kmer_size=fm.kmer_size, sampling_ratio=r,
+            block_len=kind.block_len, num_planes=planes_eff,
+            num_lanes=kind.num_lanes, wide_pos=True,
+            enc_identity=enc_identity, enc_pairs=enc_pairs,
+            enc_default=enc_default,
+        )
+        put = functools.partial(jax.device_put, device=device)
+        return cls(
+            fused=put(fused),
+            kmer_tbl=put(split2(fm.kmer_count_table)),
+            dense_lo=put(np.zeros(1, np.uint32)),
+            dense_hi=put(np.zeros(1, np.uint32)),
+            count_arr=put(split2(fm.count_array)),
+            sa=put(split2(fm.suffix_array)),
+            sentinel=put(split2(np.array([fm.sentinel_index]))[:, 0]),
+            enc_table=put(enc_table),
+            stream_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
+            pair_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
+            pair_c2=put(np.zeros(max(sigma * sigma, 1), np.uint32)),
+            pair_fix=put(np.array([0xFFFFFFFF, 0], np.uint32)),
             meta=meta,
         )
 
@@ -350,14 +457,23 @@ class DeviceFmIndex:
 
     def count(self, patterns, lens=None, use_stream: bool | None = None) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
-        EncodingTable indexes, symbol indices for PassThrough)."""
+        EncodingTable indexes, symbol indices for PassThrough).
+
+        Wide (u64-position) indexes return uint32 [2, B] — (hi, lo) lanes;
+        combine with ``ops.wide.combine64``."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
+        if self.meta.wide_pos:
+            return _wide_counts_jit(self, patterns, lens, steps)
         lo, hi = _ranges_jit(self, patterns, lens, steps,
                              self._stream(patterns.shape[0], use_stream), facts)
         return hi - lo
 
     def pos_ranges(self, patterns, lens=None, use_stream: bool | None = None):
+        """(lo, hi) uint32 [B]; wide indexes return the two-lane 4-tuple
+        (lo_hi, lo_lo, hi_hi, hi_lo)."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
+        if self.meta.wide_pos:
+            return _wide_ranges_jit(self, patterns, lens, steps)
         return _ranges_jit(self, patterns, lens, steps,
                            self._stream(patterns.shape[0], use_stream), facts)
 
@@ -375,6 +491,16 @@ class DeviceFmIndex:
         before treating the result as complete (no silent caps).
         """
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
+        if self.meta.wide_pos:
+            from ..ops import wide as wide_ops
+
+            bounds = _wide_ranges_jit(self, patterns, lens, steps)
+            if capacity is None:
+                counts = wide_ops.combine64(*_pair_sub_jit(bounds))
+                capacity = locate_ops.expand_capacity(counts)
+            locs_h, locs_l, pids, valid, dropped = _wide_resolve_jit(
+                self, bounds, capacity)
+            return jnp.stack([locs_h, locs_l]), pids, valid, dropped
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
         if capacity is None:
@@ -385,8 +511,21 @@ class DeviceFmIndex:
     def locate_with_counts(self, patterns, lens=None, capacity: int | None = None,
                            use_stream: bool | None = None):
         """(locs, pids, valid, counts, dropped) — two dispatches, zero host
-        sync when ``capacity`` is given (``dropped`` stays on device)."""
+        sync when ``capacity`` is given (``dropped`` stays on device).
+        Wide indexes return locs/counts as uint32 [2, ...] lane pairs."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
+        if self.meta.wide_pos:
+            from ..ops import wide as wide_ops
+
+            bounds = _wide_ranges_jit(self, patterns, lens, steps)
+            counts = _wide_counts_from_bounds(bounds)
+            if capacity is None:
+                capacity = locate_ops.expand_capacity(
+                    wide_ops.combine64(counts[0], counts[1]))
+            locs_h, locs_l, pids, valid, dropped = _wide_resolve_jit(
+                self, bounds, capacity)
+            return (jnp.stack([locs_h, locs_l]), pids, valid, counts,
+                    dropped)
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
         if capacity is None:
@@ -424,6 +563,46 @@ def _as_batch(meta, patterns, lens):
     return patterns, jnp.asarray(lens_host), steps, (all_dense, fixed_len)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _wide_ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int):
+    from ..ops import wide as wide_ops
+
+    sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
+    return wide_ops.pos_ranges_wide(
+        idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
+        sym, lens, steps)
+
+
+@jax.jit
+def _wide_counts_from_bounds(bounds):
+    from ..ops import wide as wide_ops
+
+    lo_h, lo_l, hi_h, hi_l = bounds
+    return jnp.stack(wide_ops.p_sub(hi_h, hi_l, lo_h, lo_l))
+
+
+def _wide_counts_jit(idx, patterns, lens, steps):
+    return _wide_counts_from_bounds(_wide_ranges_jit(idx, patterns, lens, steps))
+
+
+@jax.jit
+def _pair_sub_jit(bounds):
+    from ..ops import wide as wide_ops
+
+    lo_h, lo_l, hi_h, hi_l = bounds
+    return wide_ops.p_sub(hi_h, hi_l, lo_h, lo_l)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _wide_resolve_jit(idx: DeviceFmIndex, bounds, capacity: int):
+    from ..ops import wide as wide_ops
+
+    lo_h, lo_l, hi_h, hi_l = bounds
+    return wide_ops.locate_rows_wide(
+        idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
+        lo_h, lo_l, hi_h, hi_l, capacity)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
                 use_stream: bool = False, facts=(False, None)):
@@ -434,6 +613,7 @@ def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
         idx.count_arr, idx.sentinel, sym, lens, steps,
         stream_tbl=idx.stream_tbl, use_stream=use_stream,
         all_dense=all_dense, fixed_len=fixed_len,
+        pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
     )
 
 
@@ -470,7 +650,7 @@ def _resolve_jit(idx: DeviceFmIndex, lo, hi, capacity: int,
     if idx.meta.has_sa_full:
         locs = _sa_gather_jit(idx.sa, rows, valid)
     else:
-        meta = dataclasses.replace(idx.meta, dense_k=0)
+        meta = dataclasses.replace(idx.meta, dense_k=0, pair_rows=0)
         locs = _walk_jit(meta, idx.fused, idx.count_arr, use_stream, idx.sa,
                          idx.sentinel, rows, valid, idx.stream_tbl)
     return locs, pids, valid, dropped

@@ -151,12 +151,17 @@ def take_small(table: jax.Array, idx: jax.Array, size: int) -> jax.Array:
 
 def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
                sym, lens, steps: int, stream_tbl=None, use_stream: bool = False,
-               all_dense: bool = False, fixed_len: int | None = None):
+               all_dense: bool = False, fixed_len: int | None = None,
+               pair_tbl=None, pair_c2=None, pair_fix=None):
     """Full backward search: (lo, hi) uint32 [B] for every pattern lane.
 
     ``steps`` must be >= every lane's rem_steps (see max_steps_needed).
     ``use_stream`` routes the per-step rank queries through the streaming
-    sort-join kernel (``ops.stream_join``) instead of XLA row gathers.
+    sort-join kernel (``ops.stream_join``) instead of XLA row gathers; when
+    the 2-step pair table is resident (``meta.pair_rows``,
+    ``build/pair_table.py``) each stream pass consumes TWO pattern symbols
+    — the per-pass sort + kernel fixed costs are the mid-size-batch
+    bottleneck, so halving the pass count nearly doubles throughput there.
     ``all_dense``/``fixed_len`` are static host-derived batch facts (see
     ``initial_range``) that strip gathers from the seed and symbol fetches.
     """
@@ -170,18 +175,26 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
     B = lo.shape[0]
     static_seed = meta.dense_k if (all_dense and meta.dense_k) else None
 
-    def body(t, carry):
-        lo, hi = carry
-        active = (t < rem_steps) & (lo < hi)
-        if static_seed is not None and fixed_len is not None:
+    def sym_at(back):
+        """Symbol ``back`` steps from the seed (back=0 is the first LF
+        symbol).  ``back`` may be a traced scalar or a per-lane array; the
+        clip keeps dead lanes in range."""
+        if (static_seed is not None and fixed_len is not None
+                and jnp.ndim(back) == 0):
             # uniform-length all-dense batch: the symbol index is static
             j0 = fixed_len - static_seed - 1
             s = jax.lax.dynamic_slice_in_dim(sym, 0, max(j0 + 1, 1), axis=-1)
-            s = jax.lax.dynamic_index_in_dim(
-                s, jnp.maximum(j0 - t, 0), axis=-1, keepdims=False)
-        else:
-            j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
-            s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+            return jax.lax.dynamic_index_in_dim(
+                s, jnp.maximum(j0 - back, 0), axis=-1, keepdims=False)
+        j = jnp.clip(lens - seed_len - 1 - back, 0, Lmax - 1)
+        return jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+
+    def single_body(t, carry, mask=None):
+        lo, hi = carry
+        active = (t < rem_steps) & (lo < hi)
+        if mask is not None:
+            active = active & mask
+        s = sym_at(t)
         # inactive lanes gather block 0 (hot row) instead of a random one
         ends = jnp.stack([lo, hi])  # [2, B]
         ends_q = jnp.where(active[None, :], ends, U32(0))
@@ -204,16 +217,62 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
             nhi = pre + ranks[1]
         return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
 
-    # NB: unrolling this loop was measured WORSE on TPU (bigger program,
-    # 30x slower compile, ~1.5x slower steady state) — keep the fori_loop.
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    use_pair = (use_stream and pair_tbl is not None
+                and getattr(meta, "pair_rows", 0) > 0 and steps >= 2)
+    if not use_pair:
+        # NB: unrolling this loop was measured WORSE on TPU (bigger program,
+        # 30x slower compile, ~1.5x slower steady state) — keep the fori_loop.
+        lo, hi = jax.lax.fori_loop(0, steps, single_body, (lo, hi))
+        return lo, hi
+
+    from . import stream_join
+
+    import dataclasses as _dc
+
+    sigma = meta.sigma
+    sigma2 = sigma * sigma
+    meta2 = _dc.replace(meta, sigma=sigma2, stream_rows=meta.pair_rows)
+    j_star = pair_fix[0]
+    c_star = pair_fix[1].astype(jnp.int32)
+
+    def pair_body(t, carry):
+        lo, hi = carry
+        # a lane takes a pair step while >= 2 of its LF steps remain
+        active = (2 * t + 1 < rem_steps) & (lo < hi)
+        s2s = sym_at(2 * t)       # first consumed (rightmost)
+        s1s = sym_at(2 * t + 1)   # second consumed
+        code = s2s * sigma + s1s
+        ends = jnp.stack([lo, hi])
+        ends_q = jnp.where(active[None, :], ends, U32(0))
+        pre = take_small(pair_c2, code, sigma2)
+        c2 = jnp.concatenate([code, code])
+        ranks = stream_join.rank_next_sorted(
+            meta2, pair_tbl, sentinel, ends_q.reshape(2 * B), c2,
+            T=meta.stream_tile,
+        )
+        # one table entry's LF target is the sentinel row; its code is a
+        # stand-in and must not be counted (build/pair_table.py)
+        pq = ends_q.reshape(2 * B)
+        pq = pq + (pq < sentinel).astype(U32)
+        corr = ((c2 == c_star) & (pq > j_star)).astype(U32)
+        ranks = ranks - corr
+        nlo = pre + ranks[:B]
+        nhi = pre + ranks[B:]
+        return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+    lo, hi = jax.lax.fori_loop(0, steps // 2, pair_body, (lo, hi))
+    # lanes with an odd number of LF steps have exactly one left, at their
+    # final (leftmost) symbol
+    odd = (rem_steps % 2 == 1)
+    lo, hi = single_body(rem_steps - 1, (lo, hi), mask=odd)
     return lo, hi
 
 
 def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
                 enc_table, patterns, lens, steps: int,
                 stream_tbl=None, use_stream: bool = False,
-                all_dense: bool = False, fixed_len: int | None = None):
+                all_dense: bool = False, fixed_len: int | None = None,
+                pair_tbl=None, pair_c2=None, pair_fix=None):
     """counts uint32 [B] for raw byte patterns [B, Lmax] with lengths [B]."""
     sym = encode_patterns(enc_table, patterns, meta)
     lo, hi = pos_ranges(
@@ -221,5 +280,6 @@ def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
         sym, lens.astype(jnp.int32), steps,
         stream_tbl=stream_tbl, use_stream=use_stream,
         all_dense=all_dense, fixed_len=fixed_len,
+        pair_tbl=pair_tbl, pair_c2=pair_c2, pair_fix=pair_fix,
     )
     return hi - lo

@@ -148,6 +148,7 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
             idx.count_arr, idx.sentinel, idx.enc_table, patterns, lens, steps,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
             all_dense=facts[0], fixed_len=facts[1],
+            pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
         )
 
     return run(idx, patterns, lens)
@@ -170,6 +171,7 @@ def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
             idx.count_arr, idx.sentinel, sym, lens, steps,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
             all_dense=facts[0], fixed_len=facts[1],
+            pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
         )
 
     return run(idx, patterns, lens)
