@@ -77,7 +77,8 @@ class RangeShardedFmIndex:
 
     def __init__(self, fm, mesh=None, axis: str = RS_AXIS,
                  dp_axis: str | None = None,
-                 sa_full: "np.ndarray | str | None" = None):
+                 sa_full: "np.ndarray | str | None" = None,
+                 force_wide: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
         self.dp_axis = dp_axis
@@ -97,7 +98,8 @@ class RangeShardedFmIndex:
         from ..models.device_index import DeviceFmIndex
 
         local = DeviceFmIndex.from_host(fm, device=cpu, stream=False,
-                                        sa_full=sa_full)
+                                        sa_full=sa_full,
+                                        force_wide=force_wide)
         self.meta = local.meta
 
         def pad_to(x, mult):
@@ -109,7 +111,12 @@ class RangeShardedFmIndex:
             return np.asarray(x)
 
         fused = pad_to(np.asarray(local.fused), D)
-        sa = pad_to(np.asarray(local.sa), D)
+        if self.meta.wide_pos:
+            # wide SA is [2, m] lane-major; shard it row-major [m, 2] so
+            # _owned_gather's dim-0 ownership math applies unchanged
+            sa = pad_to(np.ascontiguousarray(np.asarray(local.sa).T), D)
+        else:
+            sa = pad_to(np.asarray(local.sa), D)
         shard_spec = NamedSharding(self.mesh, P(axis, *([None] * (fused.ndim - 1))))
         sa_spec = NamedSharding(self.mesh, P(axis))
         repl = NamedSharding(self.mesh, P())
@@ -149,32 +156,55 @@ class RangeShardedFmIndex:
         return patterns, lens, steps, b
 
     def count(self, patterns, lens=None):
+        """counts[:b] — numpy uint64 for wide (u64-position) indexes."""
         patterns, lens, steps, b = self._args(patterns, lens)
-        lo, hi = _rs_ranges(self, patterns, lens, steps)
+        out = _rs_ranges(self, patterns, lens, steps)
+        if self.meta.wide_pos:
+            from ..ops.wide import combine64
+
+            lo_h, lo_l, hi_h, hi_l = out
+            return (combine64(hi_h, hi_l) - combine64(lo_h, lo_l))[:b]
+        lo, hi = out
         return (hi - lo)[:b]
 
     def pos_ranges(self, patterns, lens=None):
         patterns, lens, steps, b = self._args(patterns, lens)
-        lo, hi = _rs_ranges(self, patterns, lens, steps)
-        return lo[:b], hi[:b]
+        out = _rs_ranges(self, patterns, lens, steps)
+        return tuple(x[:b] for x in out)
 
     def locate(self, patterns, lens=None, capacity: int | None = None):
         """(locs, pids, valid, dropped); with dp_axis, ``capacity`` is PER dp
         shard and pids are global batch indices (padding excluded via valid).
         ``dropped`` counts per-dp-shard overflow beyond ``capacity`` (all
-        zero when capacity was auto-sized)."""
+        zero when capacity was auto-sized).  Wide indexes return locs as
+        numpy uint64."""
         patterns, lens, steps, b = self._args(patterns, lens)
-        lo, hi = _rs_ranges(self, patterns, lens, steps)
+        out = _rs_ranges(self, patterns, lens, steps)
+        if self.meta.wide_pos:
+            from ..ops.wide import combine64
+
+            lo_h, lo_l, hi_h, hi_l = out
+            counts = combine64(hi_h, hi_l) - combine64(lo_h, lo_l)
+        else:
+            lo, hi = out
+            counts = np.asarray(hi).astype(np.int64) - np.asarray(lo)
         if capacity is None:
-            counts = np.asarray(hi) - np.asarray(lo)
+            counts = counts.copy()
             counts[b:] = 0
             per = patterns.shape[0] // self.dp_size
             capacity = max(
                 locate_ops.expand_capacity(c, base=per)
                 for c in counts.reshape(self.dp_size, per))
-        locs, pids, valid, dropped = _rs_resolve(self, lo, hi, capacity)
+        if self.meta.wide_pos:
+            lh, ll, pids, valid, dropped = _rs_resolve(self, out, capacity)
+            from ..ops.wide import combine64 as _c64
+
+            locs = _c64(lh, ll)
+        else:
+            locs, pids, valid, dropped = _rs_resolve(self, out, capacity)
+            locs = np.asarray(locs)
         valid = np.asarray(valid) & (np.asarray(pids) < b)
-        return np.asarray(locs), np.asarray(pids), valid, np.asarray(dropped)
+        return locs, np.asarray(pids), valid, np.asarray(dropped)
 
 
 def _rs_tree(idx: RangeShardedFmIndex):
@@ -192,14 +222,50 @@ def _rs_ranges_jit(meta, mesh_axis, tree, inputs, steps):
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis, None), P(), P(), P(), P(), P(), P(),
                   P(dp, None), P(dp)),
-        out_specs=(P(dp), P(dp)),
+        out_specs=(((P(dp),) * 4) if meta.wide_pos else (P(dp), P(dp))),
     )
     def run(fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
             enc_table, patterns, lens):
         sym = search_ops.encode_patterns(enc_table, patterns, meta)
+        Lmax = sym.shape[-1]
+
+        if meta.wide_pos:
+            from ..ops import wide as W
+
+            lo_h, lo_l, hi_h, hi_l, rem = W.initial_range_wide(
+                meta, kmer_tbl, sym, lens)
+
+            def wbody(t, carry):
+                lo_h, lo_l, hi_h, hi_l = carry
+                active = (t < rem) & W.p_lt(lo_h, lo_l, hi_h, hi_l)
+                j = jnp.clip(lens - meta.kmer_size - 1 - t, 0, Lmax - 1)
+                s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+                eh = jnp.stack([jnp.where(active, lo_h, U32(0)),
+                                jnp.where(active, hi_h, U32(0))])
+                el = jnp.stack([jnp.where(active, lo_l, U32(0)),
+                                jnp.where(active, hi_l, U32(0))])
+                q, rm = W._split_pos_wide(meta, sentinel, eh, el)
+                rows = _owned_gather(axis, fused, q.reshape(-1)).reshape(
+                    *q.shape, fused.shape[-1])
+                s2 = jnp.broadcast_to(s, eh.shape)
+                rh, rl = W.rank_from_rows_wide(meta, rows, rm, s2)
+                from ..ops.search import take_small
+
+                pre_h = take_small(count_arr[0], s, meta.sigma + 1)
+                pre_l = take_small(count_arr[1], s, meta.sigma + 1)
+                nlo = W.p_add(pre_h, pre_l, rh[0], rl[0])
+                nhi = W.p_add(pre_h, pre_l, rh[1], rl[1])
+                lo_h, lo_l = W.p_where(active, nlo[0], nlo[1], lo_h, lo_l)
+                hi_h, hi_l = W.p_where(active, nhi[0], nhi[1], hi_h, hi_l)
+                return lo_h, lo_l, hi_h, hi_l
+
+            if steps:
+                lo_h, lo_l, hi_h, hi_l = jax.lax.fori_loop(
+                    0, steps, wbody, (lo_h, lo_l, hi_h, hi_l))
+            return lo_h, lo_l, hi_h, hi_l
+
         lo, hi, rem_steps, seed_len = search_ops.initial_range(
             meta, kmer_tbl, dense_lo, dense_hi, sym, lens)
-        Lmax = sym.shape[-1]
 
         def body(t, carry):
             lo, hi = carry
@@ -236,6 +302,71 @@ def _rs_ranges(idx, patterns, lens, steps):
 def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
     mesh, axis, dp = mesh_axis
     fused, sa, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel, enc_table = tree
+
+    if meta.wide_pos:
+        lo_h, lo_l, hi_h, hi_l = inputs
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(axis, None), P(axis), P(), P(),
+                      P(dp), P(dp), P(dp), P(dp)),
+            out_specs=(P(dp),) * 5,
+        )
+        def wrun(fused, sa, count_arr, sentinel, lo_h, lo_l, hi_h, hi_l):
+            from ..ops import wide as W
+            from ..ops.search import take_small
+
+            rows_h, rows_l, pids, valid, dropped = W.expand_ranges_wide(
+                lo_h, lo_l, hi_h, hi_l, capacity)
+            if dp is not None:
+                pids = pids + jax.lax.axis_index(dp).astype(jnp.int32) \
+                    * lo_h.shape[0]
+            r = meta.sampling_ratio
+            k = r.bit_length() - 1
+
+            def needs_step(pl_, done):
+                return (pl_ & U32(r - 1) != 0) & ~done & valid
+
+            def cond(carry):
+                ph, pl, off, lh, ll, done = carry
+                return jnp.any(needs_step(pl, done))
+
+            def body(carry):
+                ph, pl, off, lh, ll, done = carry
+                need = needs_step(pl, done)
+                qh = jnp.where(need, ph, U32(0))
+                ql = jnp.where(need, pl, U32(0))
+                sm1h, sm1l = W.p_sub(sentinel[0], sentinel[1], U32(0), U32(1))
+                is_sent = (qh == sm1h) & (ql == sm1l) & need
+                q, rm = W._split_pos_wide(meta, sentinel, qh, ql)
+                frows = _owned_gather(axis, fused, q)
+                rh, rl, symidx = W.pre_rank_and_symidx_from_rows_wide(
+                    meta, frows, rm)
+                pre_h = take_small(count_arr[0], symidx, meta.sigma + 1)
+                pre_l = take_small(count_arr[1], symidx, meta.sigma + 1)
+                hit = need & is_sent
+                lh, ll = W.p_where(hit, U32(0), off, lh, ll)
+                done = done | hit
+                step = need & ~is_sent
+                nh, nl = W.p_add(pre_h, pre_l, rh, rl)
+                ph, pl = W.p_where(step, nh, nl, ph, pl)
+                off = off + step.astype(U32)
+                return ph, pl, off, lh, ll, done
+
+            zero = jnp.zeros_like(rows_l)
+            ph, pl, off, lh, ll, done = jax.lax.while_loop(
+                cond, body,
+                (rows_h, rows_l, zero, zero, zero, valid & False))
+            idx = (ph << U32(32 - k)) | (pl >> U32(k))
+            srow = _owned_gather(axis, sa, idx)  # [cap, 2] (hi, lo)
+            sh, sl = W.p_add_u32(srow[..., 0], srow[..., 1], off)
+            lh, ll = W.p_where(done, lh, ll, sh, sl)
+            lh = jnp.where(valid, lh, U32(0))
+            ll = jnp.where(valid, ll, U32(0))
+            return lh, ll, pids, valid, dropped
+
+        return wrun(fused, sa, count_arr, sentinel, lo_h, lo_l, hi_h, hi_l)
+
     lo, hi = inputs
 
     @functools.partial(
@@ -288,6 +419,8 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
     return run(fused, sa, count_arr, sentinel, lo, hi)
 
 
-def _rs_resolve(idx, lo, hi, capacity):
+def _rs_resolve(idx, bounds, capacity):
+    """``bounds``: (lo, hi) for narrow indexes, the two-lane 4-tuple for
+    wide ones."""
     return _rs_resolve_jit(idx.meta, (idx.mesh, idx.axis, idx.dp_axis),
-                           _rs_tree(idx), (lo, hi), capacity)
+                           _rs_tree(idx), tuple(bounds), capacity)

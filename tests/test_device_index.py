@@ -270,10 +270,10 @@ def test_device_u64_position_blob():
         assert sorted(got.get(i, [])) == sorted(fm.locate(p)), (i, p)
 
 
-def test_device_refuses_text_ge_2_32():
-    """Texts >= 2^32 are host-only today: the device engine raises a typed
-    BuildError (u64 two-lane emulation is documented as the range-sharding
-    follow-up in DESIGN.md, not silently wrong results)."""
+def test_device_routes_text_ge_2_32_to_wide_engine():
+    """Texts >= 2^32 route to the two-lane wide engine (ops/wide.py);
+    the remaining hard gates are 2^38 (block indices must fit uint32) and
+    non-power-of-two sampling ratios."""
     import copy
 
     from sview_fmindex_tpu.config import BuildError
@@ -284,8 +284,12 @@ def test_device_refuses_text_ge_2_32():
     fm = _build(text, symbols, BlockKind(2, 64), 2, 2, position="u64")
     fm_big = copy.copy(fm)
     fm_big.text_len = 2**32
-    with pytest.raises(BuildError, match="2\\^32"):
-        fm_big.to_device()
+    dev = fm_big.to_device()
+    assert dev.meta.wide_pos
+    fm_huge = copy.copy(fm)
+    fm_huge.text_len = 2**38
+    with pytest.raises(BuildError, match="2\\^38"):
+        fm_huge.to_device()
 
 
 def test_device_block6_wide_alphabet():

@@ -1,0 +1,104 @@
+"""Wide (u64) position device engine (ops/wide.py).
+
+The reference's u64 ``Position`` (``text_length.rs:87-129``) on device:
+two-lane uint32 values, uint32 block indices.  ``force_wide=True`` runs
+the exact wide code path on small texts so every lane-carry/compare/shift
+is validated bit-exactly against the host oracle; the >=2^32 scale run is
+a separate tool (``tools/wide_scale_check.py``) against a real 4.5 Gbp
+u64 build.
+"""
+import numpy as np
+import pytest
+
+import sview_fmindex_tpu as fmx
+from sview_fmindex_tpu.models.device_index import DeviceFmIndex
+from sview_fmindex_tpu.ops.wide import combine64
+
+
+def _build(n, pos_t, seed, r=2, k=3):
+    rng = np.random.default_rng(seed)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    enc = fmx.EncodingTable.from_symbols([b"A", b"C", b"G", b"T"])
+    b = fmx.FmIndexBuilder(
+        n, enc.symbol_count(), enc, position=pos_t, block=fmx.BLOCK3_U64,
+        suffix_array_config=fmx.SuffixArrayConfig.compressed(r),
+        lookup_table_config=fmx.LookupTableConfig.kmer_size(k))
+    blob = b.build(text)
+    return text, fmx.FmIndex.load(np.frombuffer(blob, np.uint8),
+                                  position=pos_t, block=fmx.BLOCK3_U64,
+                                  encoder_kind="table")
+
+
+@pytest.mark.parametrize("n,pos_t", [(3001, "u32"), (917, "u64"), (64, "u64")])
+def test_wide_engine_matches_oracle(n, pos_t):
+    rng = np.random.default_rng(n)
+    text, fm = _build(n, pos_t, seed=n)
+    dev = DeviceFmIndex.from_host(fm, force_wide=True)
+    assert dev.meta.wide_pos
+    plen = min(12, n // 2)
+    starts = rng.integers(0, n - plen, size=48)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(plen)]
+    lens = rng.integers(1, plen + 1, size=48).astype(np.int32)
+    c = combine64(*np.asarray(dev.count(pats, lens)))
+    for i in range(48):
+        assert int(c[i]) == fm.count(pats[i, : lens[i]].tobytes()), i
+    locs, pids, valid, dropped = dev.locate(pats, lens)
+    assert int(np.asarray(dropped)[0]) == 0
+    lv = combine64(np.asarray(locs)[0], np.asarray(locs)[1])
+    by = {}
+    for l, p, v in zip(lv, np.asarray(pids), np.asarray(valid)):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(48):
+        assert sorted(by.get(i, [])) == sorted(
+            fm.locate(pats[i, : lens[i]].tobytes())), i
+
+
+def test_wide_requires_pow2_sampling():
+    _, fm = _build(500, "u64", seed=5, r=3)
+    with pytest.raises(fmx.BuildError, match="power-of-two"):
+        DeviceFmIndex.from_host(fm, force_wide=True)
+
+
+@pytest.mark.parametrize("dp", [False, True])
+def test_wide_range_sharded_matches_oracle(dp):
+    """The wide engine on the range-sharded virtual mesh: this is the
+    configuration that serves >4 Gbp indexes (tables split across chips,
+    two-lane values, collective row gathers)."""
+    import jax
+    from jax.sharding import Mesh
+    from sview_fmindex_tpu.parallel.range_shard import RangeShardedFmIndex
+    from sview_fmindex_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    rng = np.random.default_rng(77)
+    text, fm = _build(5000, "u64", seed=77)
+    if dp:
+        if n_dev % 2:
+            pytest.skip("needs an even device count for rs x dp")
+        devs = np.array(jax.devices()).reshape(n_dev // 2, 2)
+        mesh = Mesh(devs, ("rs", "dp"))
+        rs = RangeShardedFmIndex(fm, mesh=mesh, dp_axis="dp",
+                                 force_wide=True)
+    else:
+        rs = RangeShardedFmIndex(fm, mesh=make_mesh(axis="rs"),
+                                 force_wide=True)
+    assert rs.meta.wide_pos
+    plen = 10
+    starts = rng.integers(0, 5000 - plen, size=24)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(plen)]
+    lens = np.full(24, plen, np.int32)
+    c = rs.count(pats, lens)
+    assert c.dtype == np.uint64
+    for i in range(24):
+        assert int(c[i]) == fm.count(pats[i].tobytes()), i
+    locs, pids, valid, dropped = rs.locate(pats, lens)
+    assert int(np.asarray(dropped).sum()) == 0
+    by = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(24):
+        assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes())), i
