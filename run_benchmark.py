@@ -133,20 +133,19 @@ def run_cell(args) -> None:
         from sview_fmindex_tpu.bench.timing import force
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
-        if args.algorithm == "device":
-            sa_full = os.path.join(CACHE_DIR, f"sa_full_{text_size}_{SEED}.u32")
-            # same config as bench.py: dk10 host seeds, deeper levels extended
-            # on device (the dk13+ host pass would take ~19 min per cell)
+        if args.algorithm.startswith("device"):
+            # same config as bench.py: minimal-transfer upload, stream +
+            # pair tables and the full SA derived on device
             dev = fm.to_device(
                 dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
-                sa_full=sa_full if os.path.exists(sa_full) else None,
+                sa_full="device", sa_fill_ratio=4,
                 derived_cache_dir=CACHE_DIR)
             warm.join()
         else:
             dev = fm.to_device(stream=False, derived_cache_dir=CACHE_DIR)
         # warm the REAL batch shapes so load_ns covers runtime init +
         # upload + executable compiles (the analog of blob load)
-        use_stream = args.algorithm == "device"
+        use_stream = args.algorithm.startswith("device")
         counts_w = np.asarray(dev.count(pats, use_stream=use_stream))
         cap = expand_capacity(counts_w)
         force(dev.locate_with_counts(pats, capacity=cap, use_stream=use_stream))
@@ -161,6 +160,22 @@ def run_cell(args) -> None:
             order = np.argsort(pids[valid], kind="stable")
             f.write("\n".join(map(str, locs[valid][order])))
         query_ns = time.perf_counter_ns() - q_start
+        if args.algorithm == "device-warm":
+            # resident-server mode: the index stays uploaded and serves
+            # repeated batches; report the amortized per-batch latency
+            # (query + result write) — the serving number the one-shot
+            # cells cannot show (their total is ~99% load/compile)
+            S = int(getattr(args, "serve_batches", 8) or 8)
+            q_start = time.perf_counter_ns()
+            for _ in range(S):
+                locs, pids, valid, _, dropped = dev.locate_with_counts(
+                    pats, capacity=cap, use_stream=use_stream)
+                locs, pids, valid = map(np.asarray, (locs, pids, valid))
+                with open(out_path, "w") as f:
+                    order = np.argsort(pids[valid], kind="stable")
+                    f.write("\n".join(map(str, locs[valid][order])))
+            query_ns = (time.perf_counter_ns() - q_start) // S
+            load_ns = 0  # amortized away in a resident server
     else:
         load_ns = time.perf_counter_ns() - load_start
         q_start = time.perf_counter_ns()
@@ -169,7 +184,12 @@ def run_cell(args) -> None:
                 f.write(",".join(map(str, fm.locate(p.tobytes()))) + "\n")
         query_ns = time.perf_counter_ns() - q_start
 
-    total_ns = time.perf_counter_ns() - t_all
+    if args.algorithm == "device-warm":
+        # amortized serving latency is the cell's headline (the one-shot
+        # wall time is the plain "device" row's job)
+        total_ns = query_ns
+    else:
+        total_ns = time.perf_counter_ns() - t_all
     rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     print(json.dumps({"total_ns": total_ns, "load_ns": load_ns,
                       "query_ns": query_ns, "max_rss_kb": rss_kb}))
