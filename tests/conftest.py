@@ -29,12 +29,19 @@ def pytest_configure(config):
         "(SVIEW_TEST_TPU=1) or self-skips")
 
 
+# modules whose tests genuinely need a multi-device mesh (the virtual
+# 8-device CPU mesh in the default mode); on a 1-chip real backend they
+# would truncate to 1 device and stop testing what they claim to
+_MULTIDEV_FILES = ("test_parallel", "test_range_shard")
+_MULTIDEV_TESTS = ("test_wide_range_sharded",)
+
+
 def pytest_collection_modifyitems(config, items):
-    """In SVIEW_TEST_TPU mode the virtual 8-device CPU mesh is NOT set up;
-    tests that need >= 8 devices would fail (make_mesh truncates silently)
-    rather than skip on a 1-chip host.  Skip everything unmarked when the
-    real backend has too few devices — the mode exists to run the tpu-marked
-    tests."""
+    """In SVIEW_TEST_TPU mode the virtual 8-device CPU mesh is NOT set up.
+    Run the whole single-device surface (oracle matrix, device engines,
+    Mosaic-compiled stream/pair kernels) on the real chip; skip only the
+    tests that need a multi-device mesh (make_mesh truncates silently
+    instead of failing, so they would silently under-test)."""
     if os.environ.get("SVIEW_TEST_TPU") != "1":
         return
     import jax
@@ -42,7 +49,9 @@ def pytest_collection_modifyitems(config, items):
     if len(jax.devices()) >= 8:
         return
     skip = pytest.mark.skip(
-        reason="SVIEW_TEST_TPU=1 with < 8 devices: only tpu-marked tests run")
+        reason="SVIEW_TEST_TPU=1 with < 8 devices: needs a multi-device mesh")
     for item in items:
-        if "tpu" not in item.keywords:
+        mod = item.module.__name__ if item.module else ""
+        if (any(mod.endswith(f) for f in _MULTIDEV_FILES)
+                or any(item.name.startswith(t) for t in _MULTIDEV_TESTS)):
             item.add_marker(skip)

@@ -88,8 +88,10 @@ def child(proc_id: int) -> None:
     lo_g, hi_g = _ranges_sharded(idx_g, pats_g, lens_g, mesh, "dp", steps, False, facts)
     per_shard = B // (NUM_PROCS * DEVS_PER_PROC)
     cap = expand_capacity(counts, base=per_shard)
-    locs_g, pids_g, valid_g = _walk_sharded(idx_g, lo_g, hi_g, mesh, "dp", cap, False)
+    locs_g, pids_g, valid_g, dropped_g = _walk_sharded(
+        idx_g, lo_g, hi_g, mesh, "dp", cap, False)
     locs, pids, valid = map(dist.allgather, (locs_g, pids_g, valid_g))
+    assert int(np.asarray(dist.allgather(dropped_g)).sum()) == 0
 
     # every process verifies the merged result against the host oracle
     got = {}
