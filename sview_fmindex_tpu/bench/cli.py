@@ -185,6 +185,21 @@ def locate(args) -> None:
         with open(result_path, "w") as out:
             for row in per_pattern:
                 out.write(",".join(map(str, row)) + "\n")
+        serve = int(getattr(args, "serve", 0) or 0)
+        if serve:
+            # resident-server mode: the uploaded index serves repeated
+            # batches; the amortized number is what a serving deployment
+            # sees (the one-shot total above is ~99% load/compile)
+            from .timing import force as _force
+
+            s0 = _now()
+            for _ in range(serve):
+                out4 = dev.locate(batch, lens)
+                _force(out4[0])
+            per_batch = (_now() - s0) // serve
+            qps = len(patterns) * 1e9 / max(per_batch, 1)
+            print(f"Serve mode: {serve} batches, {per_batch} ns/batch "
+                  f"({qps:,.0f} locate/s resident)")
     else:
         with open(result_path, "w") as out:
             for pat in patterns:
@@ -244,6 +259,11 @@ def main(argv=None) -> None:
         p.add_argument("-s", "--sasr", type=int, default=2)
         p.add_argument("-k", "--klts", type=int, default=3)
         p.add_argument("-t", "--treat-t-as-wildcard", action="store_true")
+        if name == "locate":
+            p.add_argument("--serve", type=int, default=0, metavar="N",
+                           help="after the one-shot run, serve N more "
+                                "batches from the resident device index "
+                                "and report amortized ns/batch")
         p.set_defaults(func=fn)
 
     p = sub.add_parser("scaling", help="pattern-DP scaling-efficiency report")
