@@ -85,3 +85,17 @@ def test_sharding_invariance(fm):
         )
         results.append((counts, merged))
     assert all(r == results[0] for r in results[1:])
+
+
+def test_sharded_stream_pair_engine_matches_gather(fm):
+    """Pattern-DP with the stream+pair engine forced on (the big-batch
+    serving configuration) must match the gather engine per shard."""
+    rng = fm._test_rng
+    patterns = [gen_rand_pattern(rng, fm._test_text, 2, 10) for _ in range(32)]
+    batch, lens = pack_patterns(patterns)
+    sharded = ShardedFmIndex(fm.to_device(), make_mesh(n_devices=4))
+    c_gather = np.asarray(sharded.count(batch, lens, use_stream=False))
+    c_stream = np.asarray(sharded.count(batch, lens, use_stream=True))
+    np.testing.assert_array_equal(c_gather, c_stream)
+    for i, p in enumerate(patterns):
+        assert int(c_stream[i]) == fm.count(p), (i, p)
