@@ -216,10 +216,11 @@ def main() -> None:
         # runs for EVERY measured batch (any batch can become the headline)
         if os.environ.get("BENCH_PARITY", "1") != "0":
             t0 = time.time()
-            c_g = np.asarray(dev.count(patterns, lens, use_stream=False))
+            c_g = np.asarray(dev.count(patterns, lens, use_stream=False, use_pair=False))
             assert (c_g == counts).all(), "count parity FAILED (stream vs gather)"
             lg, pg, vg, _, _dg = dev.locate_with_counts(
-                patterns, lens, capacity=capacity, use_stream=False)
+                patterns, lens, capacity=capacity, use_stream=False,
+                use_pair=False)
             lg, pg, vg = map(np.asarray, (lg, pg, vg))
             assert (vg == valid_np).all() and (lg[vg] == locs_np[valid_np]).all() \
                 and (pg[vg] == pids_np[valid_np]).all(), \

@@ -49,17 +49,19 @@ U32 = jnp.uint32
 CHUNK = 1 << 27  # positions per build pass (multiple of 128*32)
 
 
-def _bit_columns(meta, fused: jax.Array):
+def _bit_columns(meta, fused: jax.Array, min_blocks: int = 0):
     """Per-plane, position-ordered uint32 bit words as ONE flat 1-D array.
 
-    Returns (cols, words_per_plane): ``cols[p * W + w]`` is the w-th
-    position-ordered 32-bit word of plane p (MSB-first within the word).
-    Everything stays 1-D — small-minor-dim intermediates blow up under
-    TPU layout tiling.
+    Returns (cols, blocks): ``cols[(p*fl + w%fl)*blocks + w//fl]`` is the
+    w-th position-ordered 32-bit word of plane p (MSB-first within the
+    word).  Everything stays 1-D — small-minor-dim intermediates blow up
+    under TPU layout tiling.  ``min_blocks`` zero-pads each lane column so
+    chunked consumers can slice past the text end.
     """
     sigma = meta.sigma
     fl = meta.num_lanes
     nb = fused.shape[0]
+    nb_pad = max(nb, min_blocks)
     Wf = fused.shape[1]
     f1 = fused.reshape(-1)
     P = sj._planes_for(sigma)
@@ -67,12 +69,12 @@ def _bit_columns(meta, fused: jax.Array):
     for p in range(P):
         for l in range(fl):
             off = sigma + p * fl + l
-            per_plane.append(jax.lax.slice(
-                f1, (off,), (off + (nb - 1) * Wf + 1,), (Wf,)))
-    # plane p's words in position order = interleave of its fl lane slices;
-    # concatenating [p0l0 | p0l1 | ...] keeps each slice 1-D and the word
-    # at (p, w) addressable as cols[(p*fl + w % fl) * nb + w // fl]
-    return jnp.concatenate(per_plane), nb
+            col = jax.lax.slice(f1, (off,), (off + (nb - 1) * Wf + 1,), (Wf,))
+            if nb_pad > nb:
+                col = jnp.concatenate(
+                    [col, jnp.zeros(nb_pad - nb, jnp.uint32)])
+            per_plane.append(col)
+    return jnp.concatenate(per_plane), nb_pad
 
 
 def _word_at(meta, cols: jax.Array, nb: int, widx: jax.Array, plane: int):
@@ -97,8 +99,32 @@ def _sym_at(meta, cols: jax.Array, nb: int, pos: jax.Array) -> jax.Array:
     return sym
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _pair_chunk(meta, cols, nb_f, a: int, m: int, occ_carry, count_arr,
+def _sym_seq(meta, cols: jax.Array, nb: int, a: int, m: int) -> jax.Array:
+    """BWT symbols for the CONTIGUOUS position range [a, a+m) — pure word
+    slices + bit spreading, no gathers (the per-chunk decode was the
+    dominant build cost as gathers: ~7 s per 2^27 chunk on a v5e)."""
+    P = sj._planes_for(meta.sigma)
+    fl = meta.num_lanes
+    w0 = a >> 5
+    nwords = m >> 5
+    shifts = U32(31) - jnp.arange(32, dtype=jnp.uint32)
+    sym = jnp.zeros((nwords, 32), jnp.int32)
+    assert w0 % fl == 0 and nwords % fl == 0, (a, m, fl)
+    for p in range(P):
+        # position-ordered word w maps to cols[(p*fl + w%fl)*nb + w//fl];
+        # contiguous words split into fl lane-residue slices, re-interleaved
+        parts = []
+        for l in range(fl):
+            off = (p * fl + l) * nb + w0 // fl
+            parts.append(jax.lax.slice(cols, (off,), (off + nwords // fl,)))
+        w = jnp.stack(parts, axis=1).reshape(nwords) if fl > 1 else parts[0]
+        bits = ((w[:, None] >> shifts[None, :]) & U32(1)).astype(jnp.int32)
+        sym = sym | (bits << p)
+    return sym.reshape(m)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _pair_chunk(meta, cols, nb_f: int, a: int, m: int, occ_carry, count_arr,
                 sentinel):
     """Pair codes for table positions [a, a+m) plus carries.
 
@@ -107,7 +133,7 @@ def _pair_chunk(meta, cols, nb_f, a: int, m: int, occ_carry, count_arr,
     """
     sigma = meta.sigma
     pos = jnp.arange(m, dtype=jnp.uint32) + U32(a)
-    s = _sym_at(meta, cols, nb_f, pos)
+    s = _sym_seq(meta, cols, nb_f, a, m)
     # occ rank: exclusive running count of s within [0, j)
     occ = jnp.zeros(m, U32)
     carry2 = occ_carry
@@ -150,7 +176,8 @@ def _chunk_words_and_counts(sigma2: int, codes: jax.Array, m: int):
 
 
 def build_pair_table_device(meta, fused: jax.Array, count_arr, sentinel,
-                            text_len: int, tile_rows: int):
+                            text_len: int, tile_rows: int,
+                            want_gather: bool = True):
     """Returns (pair_tbl int32 [n_tiles2 * rw2, tile_rows], c2 uint32
     [sigma^2], fix uint32 [2] = (j_star, c_star)).
 
@@ -161,7 +188,13 @@ def build_pair_table_device(meta, fused: jax.Array, count_arr, sentinel,
     sigma2 = sigma * sigma
     assert sigma2 <= 63, sigma
     n = text_len
-    cols, nb_f = _bit_columns(meta, fused)
+    # chunk granularity: multiple of 128*32 (block and word aligned), no
+    # bigger than the text needs (a fixed 2^27 chunk would dominate small
+    # builds)
+    chunk = min(CHUNK, -(-max(n, 1) // 4096) * 4096)
+    n_pad_pos = -(-max(n, 1) // chunk) * chunk
+    cols, nb_f = _bit_columns(
+        meta, fused, min_blocks=-(-n_pad_pos // meta.block_len))
 
     occ_carry = jnp.zeros(sigma, U32)
     plane_words = []  # per chunk: list of per-plane word arrays
@@ -169,11 +202,6 @@ def build_pair_table_device(meta, fused: jax.Array, count_arr, sentinel,
     j_star = 0xFFFFFFFF
     c_star = 0
     P2 = sj._planes_for(sigma2)
-    # chunk granularity: multiple of 128*32 (block and word aligned), no
-    # bigger than the text needs (a fixed 2^27 chunk would dominate small
-    # builds)
-    chunk = min(CHUNK, -(-max(n, 1) // 4096) * 4096)
-    n_pad_pos = -(-max(n, 1) // chunk) * chunk
     for a in range(0, n_pad_pos, chunk):
         m = chunk
         codes, occ_carry, sp_j = _pair_chunk(
@@ -199,15 +227,15 @@ def build_pair_table_device(meta, fused: jax.Array, count_arr, sentinel,
                   for p in range(P2))
     counts = tuple(jnp.concatenate([bc[c] for bc in blk_counts])
                    for c in range(sigma2))
-    tbl, c2 = _assemble(meta, fused, count_arr, sentinel, words, counts,
-                        n, tile_rows)
+    tbl, gtbl, c2 = _assemble(meta, fused, count_arr, sentinel, words, counts,
+                              n, tile_rows, want_gather)
     fix = jnp.asarray(np.array([j_star, c_star], dtype=np.uint32))
-    return tbl, c2, fix
+    return tbl, gtbl, c2, fix
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
 def _assemble(meta, fused, count_arr, sentinel, words, counts, n: int,
-              tile_rows: int):
+              tile_rows: int, want_gather: bool = True):
     """v3-layout table assembly + C2 (one program; eager op-by-op dispatch
     of the ~100 small steps costs tens of seconds)."""
     sigma = meta.sigma
@@ -242,6 +270,26 @@ def _assemble(meta, fused, count_arr, sentinel, words, counts, n: int,
     tbl = jnp.stack(rows, axis=1).reshape(n_tiles * RW2, tile_rows)
     tbl = jax.lax.bitcast_convert_type(tbl, jnp.int32)
 
+    # gather layout (opt-in): fused-style rows [n_blocks2, sigma2+P2*LANES]
+    # over SBL-length blocks, served by ops.rank with a sigma2 meta.
+    # Measured on a v5e: its 128 B row gathers cost ~3x a fused-row
+    # gather, so the stream engine stays the default consumer.
+    P2 = sj._planes_for(sigma2)
+    if want_gather:
+        nb2 = n // sj.SBL + 1
+        gcols = []
+        for c in range(sigma2):
+            ck = pad_to(counts[c], nb2)
+            gcols.append(jnp.cumsum(ck, dtype=U32) - ck)
+        for p in range(P2):
+            wp = pad_to(words[p], nb2 * sj.LANES)
+            for l in range(sj.LANES):
+                gcols.append(jax.lax.slice(
+                    wp, (l,), ((nb2 - 1) * sj.LANES + l + 1,), (sj.LANES,)))
+        gtbl = jnp.stack(gcols, axis=1)
+    else:
+        gtbl = jnp.zeros((1, 8), U32)
+
     # C2[s2*sigma + s1] = C[s1] + rank(C[s2], s1)
     from ..ops.rank import rank_next
 
@@ -249,4 +297,4 @@ def _assemble(meta, fused, count_arr, sentinel, words, counts, n: int,
     cpos = jnp.take(count_arr, s2v).astype(U32)
     c2 = jnp.take(count_arr, s1v).astype(U32) + rank_next(
         meta, fused, sentinel, cpos, s1v)
-    return tbl, c2
+    return tbl, gtbl, c2

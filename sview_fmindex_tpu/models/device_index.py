@@ -41,7 +41,8 @@ class IndexMeta:
     dense_k: int = 0  # device-side dense seed-table k (0 = disabled)
     stream_rows: int = 0  # stream-join table rows (0 = streaming disabled)
     stream_tile: int = 8192  # stream-join tile blocks (measured optimum)
-    pair_rows: int = 0  # 2-step pair table rows (0 = disabled)
+    pair_rows: int = 0  # 2-step pair STREAM table rows (0 = disabled)
+    pair_gather: bool = False  # 2-step pair GATHER table resident
     wide_pos: bool = False  # two-lane u32 positions (texts >= 2^32)
     # static encoder content (compare-select encode instead of a 256-entry
     # gather, which is latency-bound at ~18 ns/byte on TPU):
@@ -55,7 +56,7 @@ class IndexMeta:
     jax.tree_util.register_dataclass,
     data_fields=["fused", "kmer_tbl", "dense_lo", "dense_hi", "count_arr",
                  "sa", "sentinel", "enc_table", "stream_tbl", "pair_tbl",
-                 "pair_c2", "pair_fix"],
+                 "pair_gtbl", "pair_c2", "pair_fix"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,7 @@ class DeviceFmIndex:
     enc_table: jax.Array
     stream_tbl: jax.Array
     pair_tbl: jax.Array
+    pair_gtbl: jax.Array
     pair_c2: jax.Array
     pair_fix: jax.Array
     meta: IndexMeta
@@ -82,7 +84,8 @@ class DeviceFmIndex:
                   stream: bool = True, stream_tile: int | None = None,
                   stream_derive: bool = True, sa_fill_ratio: int = 4,
                   sa_full: "np.ndarray | str | None" = None,
-                  pair: bool = True, force_wide: bool = False,
+                  pair: bool = True, pair_gather: bool = False,
+                  force_wide: bool = False,
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
@@ -274,6 +277,7 @@ class DeviceFmIndex:
             stream_tile=stream_tile,
             pair_rows=stream_join.stream_table_rows(
                 sigma * sigma, fm.text_len, stream_tile) if use_pair else 0,
+            pair_gather=bool(pair_gather and use_pair),
             enc_identity=enc_identity,
             enc_pairs=enc_pairs,
             enc_default=enc_default,
@@ -308,11 +312,12 @@ class DeviceFmIndex:
         if use_pair:
             from ..build.pair_table import build_pair_table_device
 
-            pair_tbl, pair_c2, pair_fix = build_pair_table_device(
+            pair_tbl, pair_gtbl, pair_c2, pair_fix = build_pair_table_device(
                 meta, fused_dev, count_dev, sent_dev, fm.text_len,
-                stream_tile)
+                stream_tile, want_gather=meta.pair_gather)
         else:
             pair_tbl = put(np.zeros((8, stream_tile), np.int32))
+            pair_gtbl = put(np.zeros((1, 8), np.uint32))
             pair_c2 = put(np.zeros(max(sigma * sigma, 1), np.uint32))
             pair_fix = put(np.array([0xFFFFFFFF, 0], np.uint32))
 
@@ -351,6 +356,7 @@ class DeviceFmIndex:
             enc_table=put(enc_table),
             stream_tbl=stream_dev,
             pair_tbl=pair_tbl,
+            pair_gtbl=pair_gtbl,
             pair_c2=pair_c2,
             pair_fix=pair_fix,
             meta=meta,
@@ -427,6 +433,7 @@ class DeviceFmIndex:
             enc_table=put(enc_table),
             stream_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
             pair_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
+            pair_gtbl=put(np.zeros((1, 8), np.uint32)),
             pair_c2=put(np.zeros(max(sigma * sigma, 1), np.uint32)),
             pair_fix=put(np.array([0xFFFFFFFF, 0], np.uint32)),
             meta=meta,
@@ -445,7 +452,9 @@ class DeviceFmIndex:
     # streaming sort-join engages above this batch size — the measured
     # crossover on a v5e at 1 Gbp/dk14 (count Mq/s, gather vs stream):
     # 8k: 1.10/0.59, 16k: 1.56/1.05, 32k: 1.84/1.93, 64k: 2.01/3.04,
-    # 128k: 2.10/4.69
+    # 128k: 2.10/4.69.  (A pair GATHER-layout table was measured too:
+    # its 128 B row gathers cost ~3x a fused-row gather, losing to the
+    # pair stream engine at every batch size — it stays opt-in.)
     STREAM_MIN_BATCH = 32768
 
     def _stream(self, B: int, use_stream: bool | None) -> bool:
@@ -455,17 +464,21 @@ class DeviceFmIndex:
             return B >= self.STREAM_MIN_BATCH
         return use_stream
 
-    def count(self, patterns, lens=None, use_stream: bool | None = None) -> jax.Array:
+    def count(self, patterns, lens=None, use_stream: bool | None = None,
+              use_pair: bool = True) -> jax.Array:
         """counts uint32 [B] for a [B, Lmax] uint8 batch (raw bytes for
         EncodingTable indexes, symbol indices for PassThrough).
 
-        Wide (u64-position) indexes return uint32 [2, B] — (hi, lo) lanes;
-        combine with ``ops.wide.combine64``."""
+        ``use_pair=False`` forces the single-symbol engines (parity gates
+        need a path independent of the pair tables).  Wide (u64-position)
+        indexes return uint32 [2, B] — (hi, lo) lanes; combine with
+        ``ops.wide.combine64``."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         if self.meta.wide_pos:
             return _wide_counts_jit(self, patterns, lens, steps)
         lo, hi = _ranges_jit(self, patterns, lens, steps,
-                             self._stream(patterns.shape[0], use_stream), facts)
+                             self._stream(patterns.shape[0], use_stream),
+                             facts, use_pair)
         return hi - lo
 
     def pos_ranges(self, patterns, lens=None, use_stream: bool | None = None):
@@ -478,7 +491,7 @@ class DeviceFmIndex:
                            self._stream(patterns.shape[0], use_stream), facts)
 
     def locate(self, patterns, lens=None, capacity: int | None = None,
-               use_stream: bool | None = None):
+               use_stream: bool | None = None, use_pair: bool = True):
         """Returns (locations uint32 [capacity], pattern_ids int32,
         valid bool, dropped uint32 [1]).
 
@@ -502,14 +515,16 @@ class DeviceFmIndex:
                 self, bounds, capacity)
             return jnp.stack([locs_h, locs_l]), pids, valid, dropped
         stream = self._stream(patterns.shape[0], use_stream)
-        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
+        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts,
+                             use_pair)
         if capacity is None:
             capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
         locs, pids, valid, dropped = _resolve_jit(self, lo, hi, capacity, stream)
         return locs, pids, valid, dropped
 
     def locate_with_counts(self, patterns, lens=None, capacity: int | None = None,
-                           use_stream: bool | None = None):
+                           use_stream: bool | None = None,
+                           use_pair: bool = True):
         """(locs, pids, valid, counts, dropped) — two dispatches, zero host
         sync when ``capacity`` is given (``dropped`` stays on device).
         Wide indexes return locs/counts as uint32 [2, ...] lane pairs."""
@@ -527,7 +542,8 @@ class DeviceFmIndex:
             return (jnp.stack([locs_h, locs_l]), pids, valid, counts,
                     dropped)
         stream = self._stream(patterns.shape[0], use_stream)
-        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts)
+        lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts,
+                             use_pair)
         if capacity is None:
             capacity = locate_ops.expand_capacity(np.asarray(hi - lo))
         locs, pids, valid, dropped = _resolve_jit(self, lo, hi, capacity, stream)
@@ -603,9 +619,10 @@ def _wide_resolve_jit(idx: DeviceFmIndex, bounds, capacity: int):
         lo_h, lo_l, hi_h, hi_l, capacity)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
-                use_stream: bool = False, facts=(False, None)):
+                use_stream: bool = False, facts=(False, None),
+                use_pair: bool = True):
     all_dense, fixed_len = facts
     sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
     return search_ops.pos_ranges(
@@ -613,7 +630,9 @@ def _ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
         idx.count_arr, idx.sentinel, sym, lens, steps,
         stream_tbl=idx.stream_tbl, use_stream=use_stream,
         all_dense=all_dense, fixed_len=fixed_len,
-        pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
+        pair_tbl=idx.pair_tbl if use_pair else None,
+        pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
+        pair_gtbl=idx.pair_gtbl if use_pair else None,
     )
 
 

@@ -152,7 +152,7 @@ def take_small(table: jax.Array, idx: jax.Array, size: int) -> jax.Array:
 def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
                sym, lens, steps: int, stream_tbl=None, use_stream: bool = False,
                all_dense: bool = False, fixed_len: int | None = None,
-               pair_tbl=None, pair_c2=None, pair_fix=None):
+               pair_tbl=None, pair_c2=None, pair_fix=None, pair_gtbl=None):
     """Full backward search: (lo, hi) uint32 [B] for every pattern lane.
 
     ``steps`` must be >= every lane's rem_steps (see max_steps_needed).
@@ -217,9 +217,11 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
             nhi = pre + ranks[1]
         return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
 
-    use_pair = (use_stream and pair_tbl is not None
-                and getattr(meta, "pair_rows", 0) > 0 and steps >= 2)
-    if not use_pair:
+    use_pair_stream = (use_stream and pair_tbl is not None
+                       and getattr(meta, "pair_rows", 0) > 0 and steps >= 2)
+    use_pair_gather = (not use_stream and pair_gtbl is not None
+                       and getattr(meta, "pair_gather", False) and steps >= 2)
+    if not (use_pair_stream or use_pair_gather):
         # NB: unrolling this loop was measured WORSE on TPU (bigger program,
         # 30x slower compile, ~1.5x slower steady state) — keep the fori_loop.
         lo, hi = jax.lax.fori_loop(0, steps, single_body, (lo, hi))
@@ -232,6 +234,11 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
     sigma = meta.sigma
     sigma2 = sigma * sigma
     meta2 = _dc.replace(meta, sigma=sigma2, stream_rows=meta.pair_rows)
+    # gather-layout pair meta: SBL-length blocks, 4 uint32 lanes/plane
+    meta2g = _dc.replace(
+        meta, sigma=sigma2, block_len=stream_join.SBL,
+        num_planes=stream_join._planes_for(sigma2),
+        num_lanes=stream_join.LANES)
     j_star = pair_fix[0]
     c_star = pair_fix[1].astype(jnp.int32)
 
@@ -245,6 +252,15 @@ def pos_ranges(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
         ends = jnp.stack([lo, hi])
         ends_q = jnp.where(active[None, :], ends, U32(0))
         pre = take_small(pair_c2, code, sigma2)
+        if use_pair_gather:
+            c2 = jnp.broadcast_to(code, ends.shape)
+            ranks2 = rank_next(meta2g, pair_gtbl, sentinel, ends_q, c2)
+            pq2 = ends_q + (ends_q < sentinel).astype(U32)
+            corr2 = ((c2 == c_star) & (pq2 > j_star)).astype(U32)
+            ranks2 = ranks2 - corr2
+            nlo = pre + ranks2[0]
+            nhi = pre + ranks2[1]
+            return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
         c2 = jnp.concatenate([code, code])
         ranks = stream_join.rank_next_sorted(
             meta2, pair_tbl, sentinel, ends_q.reshape(2 * B), c2,
@@ -272,7 +288,7 @@ def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
                 enc_table, patterns, lens, steps: int,
                 stream_tbl=None, use_stream: bool = False,
                 all_dense: bool = False, fixed_len: int | None = None,
-                pair_tbl=None, pair_c2=None, pair_fix=None):
+                pair_tbl=None, pair_c2=None, pair_fix=None, pair_gtbl=None):
     """counts uint32 [B] for raw byte patterns [B, Lmax] with lengths [B]."""
     sym = encode_patterns(enc_table, patterns, meta)
     lo, hi = pos_ranges(
@@ -281,5 +297,6 @@ def count_batch(meta, fused, kmer_tbl, dense_lo, dense_hi, count_arr, sentinel,
         stream_tbl=stream_tbl, use_stream=use_stream,
         all_dense=all_dense, fixed_len=fixed_len,
         pair_tbl=pair_tbl, pair_c2=pair_c2, pair_fix=pair_fix,
+        pair_gtbl=pair_gtbl,
     )
     return hi - lo

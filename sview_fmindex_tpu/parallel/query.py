@@ -149,6 +149,7 @@ def _count_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
             all_dense=facts[0], fixed_len=facts[1],
             pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
+            pair_gtbl=idx.pair_gtbl,
         )
 
     return run(idx, patterns, lens)
@@ -172,6 +173,7 @@ def _ranges_sharded(idx, patterns, lens, mesh, axis, steps, use_stream=False,
             stream_tbl=idx.stream_tbl, use_stream=use_stream,
             all_dense=facts[0], fixed_len=facts[1],
             pair_tbl=idx.pair_tbl, pair_c2=idx.pair_c2, pair_fix=idx.pair_fix,
+            pair_gtbl=idx.pair_gtbl,
         )
 
     return run(idx, patterns, lens)

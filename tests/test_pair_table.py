@@ -76,3 +76,25 @@ def test_pair_disabled_still_works():
     pats = np.frombuffer(text[:8], np.uint8)[None, :]
     c = np.asarray(dev.count(pats, np.array([8], np.int32), use_stream=True))
     assert int(c[0]) == fm.count(text[:8])
+
+
+def test_pair_gather_layout_opt_in():
+    """The gather-layout pair table (opt-in): the non-stream engine
+    consumes two symbols per row gather; parity vs the single-symbol
+    engine and the oracle."""
+    from sview_fmindex_tpu.models.device_index import DeviceFmIndex
+
+    rng = np.random.default_rng(5)
+    n = 1200
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    fm, _ = _index(text)
+    dev = DeviceFmIndex.from_host(fm, pair_gather=True, dense_lut_entries=0)
+    assert dev.meta.pair_gather
+    starts = rng.integers(0, n - 10, size=32)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(10)]
+    lens = np.full(32, 10, np.int32)
+    c0 = np.asarray(dev.count(pats, lens, use_stream=False))
+    c1 = np.asarray(dev.count(pats, lens, use_stream=False, use_pair=False))
+    np.testing.assert_array_equal(c0, c1)
+    for i in range(32):
+        assert c0[i] == fm.count(pats[i].tobytes())
