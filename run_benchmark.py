@@ -103,7 +103,7 @@ def run_cell(args) -> None:
     out_path = os.path.join(CACHE_DIR, f"results_{args.algorithm}.txt")
     t_all = time.perf_counter_ns()
 
-    if args.algorithm in ("device", "memory"):
+    if args.algorithm in ("device", "device-warm", "memory"):
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
@@ -129,7 +129,7 @@ def run_cell(args) -> None:
     else:
         blob = np.fromfile(blob_path(text_size), dtype=np.uint8)
     fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64, encoder_kind="table")
-    if args.algorithm in ("device", "memory"):
+    if args.algorithm in ("device", "device-warm", "memory"):
         from sview_fmindex_tpu.bench.timing import force
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
@@ -142,7 +142,11 @@ def run_cell(args) -> None:
                 derived_cache_dir=CACHE_DIR)
             warm.join()
         else:
-            dev = fm.to_device(stream=False, derived_cache_dir=CACHE_DIR)
+            # CPU-backend in-memory path: gather engine only — skip the
+            # stream/pair device-table builds (minutes of host work that
+            # the engine would never read)
+            dev = fm.to_device(stream=False, pair=False,
+                               derived_cache_dir=CACHE_DIR)
         # warm the REAL batch shapes so load_ns covers runtime init +
         # upload + executable compiles (the analog of blob load)
         use_stream = args.algorithm.startswith("device")

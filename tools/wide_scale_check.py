@@ -39,6 +39,12 @@ def main() -> None:
 
     import jax
 
+    # the container's sitecustomize forces the axon TPU platform; this
+    # check runs on the virtual CPU mesh (one chip cannot hold a >20 GB
+    # wide index — that's the point of range sharding)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
     import sview_fmindex_tpu as fmx
     from sview_fmindex_tpu.parallel.range_shard import RangeShardedFmIndex
     from sview_fmindex_tpu.parallel.mesh import make_mesh
