@@ -188,15 +188,23 @@ def run_cell(args) -> None:
                 f.write(",".join(map(str, fm.locate(p.tobytes()))) + "\n")
         query_ns = time.perf_counter_ns() - q_start
 
-    if args.algorithm == "device-warm":
+    amortized = args.algorithm == "device-warm"
+    if amortized:
         # amortized serving latency is the cell's headline (the one-shot
         # wall time is the plain "device" row's job)
         total_ns = query_ns
     else:
         total_ns = time.perf_counter_ns() - t_all
     rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    print(json.dumps({"total_ns": total_ns, "load_ns": load_ns,
-                      "query_ns": query_ns, "max_rss_kb": rss_kb}))
+    cell = {"total_ns": total_ns, "load_ns": load_ns,
+            "query_ns": query_ns, "max_rss_kb": rss_kb}
+    if amortized:
+        # device-warm total_ns is a PER-BATCH amortized latency, not a
+        # cold-start wall time — mark it so downstream tooling comparing
+        # total_ns across algorithm rows cannot conflate the two semantics
+        cell["amortized"] = True
+        cell["serve_batches"] = S
+    print(json.dumps(cell))
 
 
 # ---------------------------------------------------------------------------

@@ -99,40 +99,47 @@ def _sym_at(meta, cols: jax.Array, nb: int, pos: jax.Array) -> jax.Array:
     return sym
 
 
-def _sym_seq(meta, cols: jax.Array, nb: int, a: int, m: int) -> jax.Array:
+def _sym_seq(meta, cols: jax.Array, nb: int, a, m: int) -> jax.Array:
     """BWT symbols for the CONTIGUOUS position range [a, a+m) — pure word
     slices + bit spreading, no gathers (the per-chunk decode was the
-    dominant build cost as gathers: ~7 s per 2^27 chunk on a v5e)."""
+    dominant build cost as gathers: ~7 s per 2^27 chunk on a v5e).
+
+    ``a`` is a TRACED uint32 scalar (dynamic slices), so every full-size
+    chunk of a build shares one compiled program; the caller guarantees
+    ``a`` and ``m`` are multiples of 128*32 (word index divisible by the
+    lane count).
+    """
     P = sj._planes_for(meta.sigma)
     fl = meta.num_lanes
-    w0 = a >> 5
+    w0 = jnp.asarray(a, U32) >> U32(5)
     nwords = m >> 5
     shifts = U32(31) - jnp.arange(32, dtype=jnp.uint32)
     sym = jnp.zeros((nwords, 32), jnp.int32)
-    assert w0 % fl == 0 and nwords % fl == 0, (a, m, fl)
     for p in range(P):
         # position-ordered word w maps to cols[(p*fl + w%fl)*nb + w//fl];
         # contiguous words split into fl lane-residue slices, re-interleaved
         parts = []
         for l in range(fl):
-            off = (p * fl + l) * nb + w0 // fl
-            parts.append(jax.lax.slice(cols, (off,), (off + nwords // fl,)))
+            off = U32((p * fl + l) * nb) + w0 // U32(fl)
+            parts.append(jax.lax.dynamic_slice(cols, (off,), (nwords // fl,)))
         w = jnp.stack(parts, axis=1).reshape(nwords) if fl > 1 else parts[0]
         bits = ((w[:, None] >> shifts[None, :]) & U32(1)).astype(jnp.int32)
         sym = sym | (bits << p)
     return sym.reshape(m)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _pair_chunk(meta, cols, nb_f: int, a: int, m: int, occ_carry, count_arr,
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
+def _pair_chunk(meta, cols, nb_f: int, a, m: int, occ_carry, count_arr,
                 sentinel):
     """Pair codes for table positions [a, a+m) plus carries.
 
-    Returns (codes int32 [m], occ_carry', special_j int32 (local index of
-    the sentinel-target entry or -1)).
+    ``a`` is traced (uint32) — every 2^27-position chunk of a Gbp build
+    shares ONE compiled program instead of re-tracing per chunk (only the
+    chunk SIZE ``m`` is static).  Returns (codes int32 [m], occ_carry',
+    special_j int32 (local index of the sentinel-target entry or -1)).
     """
     sigma = meta.sigma
-    pos = jnp.arange(m, dtype=jnp.uint32) + U32(a)
+    pos = jnp.arange(m, dtype=jnp.uint32) + jnp.asarray(a, U32)
     s = _sym_seq(meta, cols, nb_f, a, m)
     # occ rank: exclusive running count of s within [0, j)
     occ = jnp.zeros(m, U32)
@@ -205,7 +212,7 @@ def build_pair_table_device(meta, fused: jax.Array, count_arr, sentinel,
     for a in range(0, n_pad_pos, chunk):
         m = chunk
         codes, occ_carry, sp_j = _pair_chunk(
-            meta, cols, nb_f, a, m, occ_carry, count_arr, sentinel)
+            meta, cols, nb_f, np.uint32(a), m, occ_carry, count_arr, sentinel)
         # positions >= n are padding: their plane bits / counts must be
         # excluded exactly like build_stream_table's pad handling —
         # force code sigma2 (counted by nobody, plane bits may be junk

@@ -303,7 +303,12 @@ class DeviceFmIndex:
                     return stream_join.build_stream_table(sigma, bwt,
                                                           stream_tile)
 
-                stream_dev = put(_cached(f"stream{stream_tile}", _build_stream))
+                # cache key embeds the v3 layout (RW rows, G grouping): a
+                # cache written by an older layout must never be served to
+                # the current kernel (wrong ranks / shapes)
+                rw_, g_ = stream_join._layout(sigma, stream_tile)
+                stream_dev = put(_cached(
+                    f"streamv3rw{rw_}g{g_}_{stream_tile}", _build_stream))
         else:
             stream_dev = put(np.zeros((stream_join._layout(
                 sigma, stream_tile)[0], stream_tile),
@@ -383,6 +388,17 @@ class DeviceFmIndex:
             raise BuildError(
                 "wide device path requires a power-of-two sampling ratio "
                 ">= 2 (the locate walk's div/mod must stay lane-local)")
+        # the locate walk's SA fold and _split_pos_wide's block fold pack
+        # the two-lane position into ONE uint32 index (ops/wide.py); both
+        # wrap unless n/r and n/block_len fit uint32.  Validate the REAL
+        # envelope, not just the 2^38 block bound (a block_len=32 text in
+        # [2^37, 2^38) or an r=2 text >= 2^33 would silently wrap).
+        bound = min(r, kind.block_len) << 32
+        if fm.text_len >= bound:
+            raise BuildError(
+                f"wide device path requires text_len < min(sampling_ratio,"
+                f" block_len) * 2^32 = {bound} (the SA and block index "
+                f"folds are uint32); got text_len {fm.text_len}")
 
         n_blocks = fm.rank_checkpoints.shape[0]
         sigma = fm.symbol_count
@@ -456,13 +472,47 @@ class DeviceFmIndex:
     # its 128 B row gathers cost ~3x a fused-row gather, losing to the
     # pair stream engine at every batch size — it stays opt-in.)
     STREAM_MIN_BATCH = 32768
+    # above this lane count one batch no longer fits the per-step sort
+    # budget; the gather engine serves it (correct, ~3x slower).  NOT a
+    # silent cap: crossing it warns, and ``engine_for`` reports the choice.
+    STREAM_MAX_BATCH = 1 << 25
 
     def _stream(self, B: int, use_stream: bool | None) -> bool:
-        if self.meta.stream_rows == 0 or B >= 1 << 25:
+        if self.meta.stream_rows == 0:
+            return False
+        if B >= self.STREAM_MAX_BATCH:
+            if use_stream is None or use_stream:
+                import warnings
+
+                warnings.warn(
+                    f"batch of {B} lanes exceeds the stream engine's "
+                    f"{self.STREAM_MAX_BATCH}-lane sort budget; serving it "
+                    "with the gather engine (~3x slower at this size). "
+                    "Chunk the batch — ~1M lanes per call is the measured "
+                    "throughput sweet spot on a v5e.",
+                    RuntimeWarning, stacklevel=3)
             return False
         if use_stream is None:
             return B >= self.STREAM_MIN_BATCH
         return use_stream
+
+    def engine_for(self, B: int, use_stream: bool | None = None,
+                   use_pair: bool = True) -> str:
+        """The engine a batch of ``B`` lanes will be served by:
+        ``'wide-gather'`` | ``'gather'`` | ``'stream'`` | ``'pair-stream'``.
+        Exposed so callers (and tests) can observe the stream->gather
+        fallback above ``STREAM_MAX_BATCH`` instead of inferring it from
+        throughput."""
+        if self.meta.wide_pos:
+            return "wide-gather"
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            stream = self._stream(B, use_stream)
+        if not stream:
+            return "gather"
+        return "pair-stream" if (use_pair and self.meta.pair_rows) else "stream"
 
     def count(self, patterns, lens=None, use_stream: bool | None = None,
               use_pair: bool = True) -> jax.Array:

@@ -69,6 +69,14 @@ def expand_ranges(lo: jax.Array, hi: jax.Array, capacity: int):
     budget sufficed; callers size capacity via :func:`expand_capacity`, and
     anyone passing an explicit ``capacity`` should check ``dropped`` before
     trusting completeness).  Requires ``capacity >= B``.
+
+    Caveat: per-lane extras go through a SATURATING prefix sum capped at
+    2^31-1 (see :func:`_sat_cumsum`).  Once any lane's cumulative extras
+    reach the cap, ``dropped`` becomes a saturated LOWER BOUND rather than
+    an exact count, and overflow-slot attribution past the saturation
+    point is approximate.  ``dropped == 0`` remains exact (nothing was
+    dropped); the cap only blurs HOW MANY were dropped when ~2^31 rows
+    already did not fit.
     """
     B = lo.shape[0]
     if capacity < B:

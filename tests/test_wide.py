@@ -102,3 +102,30 @@ def test_wide_range_sharded_matches_oracle(dp):
             by.setdefault(int(p), []).append(int(l))
     for i in range(24):
         assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes())), i
+
+
+def test_wide_envelope_rejects_fold_overflow():
+    """The SA/block index folds are uint32: text_len must stay below
+    min(sampling_ratio, block_len) * 2^32 (ADVICE r4: an r=2 text >= 2^33
+    would silently wrap inside the old 2^38 gate)."""
+    _, fm = _build(700, "u64", seed=9, r=2)
+
+    class _FakeLen:
+        """Delegate everything to the real index but lie about text_len
+        (building a real >=2^33 bp text in a unit test is not feasible)."""
+
+        def __init__(self, fm, text_len):
+            self._fm = fm
+            self._text_len = text_len
+
+        def __getattr__(self, k):
+            if k == "text_len":
+                return self._text_len
+            return getattr(self._fm, k)
+
+    import sview_fmindex_tpu as fmx
+
+    with pytest.raises(fmx.BuildError, match="min.sampling_ratio"):
+        DeviceFmIndex.from_host(_FakeLen(fm, 2 ** 33), force_wide=True)
+    with pytest.raises(fmx.BuildError, match="2\\^38|min.sampling_ratio"):
+        DeviceFmIndex.from_host(_FakeLen(fm, 2 ** 38), force_wide=True)
