@@ -6,8 +6,13 @@ row): 2 processes x 4 virtual CPU devices = one 8-device global mesh;
 device, pattern batches shard over the global ``dp`` axis, and each
 process's merged locate output must equal the single-process host oracle.
 
+Also MEASURES the one hot-path collective (the result all-gather at the
+out_specs boundary) across the real process boundary, at the comm model's
+payload sizes — the measured anchor the analytic 2-host efficiency model
+was missing (VERDICT r4 #3).
+
 Run: ``python tools/multihost_dryrun.py`` (parent spawns the 2 children
-and writes MULTIHOST_r03.json at the repo root).
+and writes MULTIHOST_r05.json at the repo root).
 """
 from __future__ import annotations
 
@@ -104,10 +109,44 @@ def child(proc_id: int) -> None:
         assert counts[i] == len(want), (i, counts[i], want)
         assert sorted(got.get(i, [])) == want, (i, got.get(i), want)
         n_checked += 1
+    # ---- measured inter-process collective (VERDICT r4 missing #3) ----
+    # The hot path's ONLY collective is the result all-gather at the
+    # out_specs boundary.  Time it at the comm model's payload sizes with
+    # the collective actually CROSSING the process boundary (gRPC over
+    # localhost here — not a DCN, but a real serialize+transport+merge
+    # path; the artifact records the transport so the number cannot be
+    # read as a DCN measurement).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    to_repl = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(mesh, P()))
+    coll = {}
+    for label, arr in (
+            ("count_1m", np.zeros(1_000_000, np.uint32)),      # 4 B/pattern
+            ("locate_1m", np.zeros((1_009_996 // 8 * 8, 3), np.uint32))):
+        g = dist.shard_batch(mesh, arr)
+        to_repl(g).block_until_ready()  # compile + first transport
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            to_repl(g).block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        nbytes = arr.nbytes
+        # each process must RECEIVE the other process's half
+        cross_bytes = nbytes // NUM_PROCS
+        coll[label] = {
+            "payload_bytes": nbytes,
+            "cross_process_bytes": cross_bytes,
+            "mean_s": round(dt, 5),
+            "effective_cross_GBps": round(cross_bytes / dt / 1e9, 3),
+        }
+
     print(json.dumps({"proc": proc_id, "ok": True,
                       "devices": len(jax.devices()),
                       "processes": jax.process_count(),
-                      "patterns_checked": n_checked}))
+                      "patterns_checked": n_checked,
+                      "collective": coll,
+                      "transport": "grpc-localhost (CPU backend)"}))
 
 
 def main() -> None:
@@ -133,7 +172,7 @@ def main() -> None:
     artifact = {"ok": ok and len(results) == NUM_PROCS,
                 "elapsed_s": round(time.time() - t0, 1),
                 "procs": results}
-    with open(os.path.join(REPO, "MULTIHOST_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "MULTIHOST_r05.json"), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
     sys.exit(0 if artifact["ok"] else 1)
