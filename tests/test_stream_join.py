@@ -142,3 +142,64 @@ def test_stream_kernel_compiled_on_tpu():
     l1 = dev.locate(batch, lens, capacity=2 * B, use_stream=True)
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("plen", [9, 10, 11, 12, 16])
+def test_sorted_chain_uniform_batches_match_host(plen):
+    """The sorted-chain fast path (ops/search._ranges_chain): uniform-length
+    batches with the pair engine pay ONE sort per pass + a final unsort.
+    Must be bit-exact vs the host oracle and the gather engine across odd
+    and even step counts (plen - seed parity) — including empty ranges
+    (absent patterns), which the chain propagates WITHOUT active masks."""
+    fm, text, rng = _index(n=2500, ratio=2)
+    dev = fm.to_device(dense_lut_entries=0)  # seed = blob k=3
+    assert dev.meta.pair_rows > 0
+
+    B = 64
+    starts = rng.integers(0, len(text) - plen, size=B)
+    batch = np.frombuffer(text, np.uint8)[
+        np.asarray(starts)[:, None] + np.arange(plen)].copy()
+    # lane 3: a pattern that is absent (empty range mid-chain)
+    batch[3] = np.frombuffer(b"T" * plen, np.uint8)
+    # verify the gate engages the chain (uniform length, pair stream)
+    from sview_fmindex_tpu.models.device_index import _as_batch
+
+    _, _, steps, facts = _as_batch(dev.meta, batch, None)
+    assert facts[1] == plen and steps >= 2
+
+    counts = np.asarray(dev.count(batch, use_stream=True))
+    counts_gather = np.asarray(dev.count(batch, use_stream=False,
+                                         use_pair=False))
+    assert (counts == counts_gather).all()
+    for i in range(B):
+        assert counts[i] == fm.count(batch[i].tobytes()), i
+
+    locs, pids, valid, dropped = dev.locate(batch, use_stream=True)
+    assert int(np.asarray(dropped)[0]) == 0
+    locs, pids, valid = map(np.asarray, (locs, pids, valid))
+    for i in range(B):
+        mine = sorted(locs[valid & (pids == i)].tolist())
+        assert mine == sorted(fm.locate(batch[i].tobytes())), i
+
+
+def test_sorted_chain_with_dense_seed():
+    """Chain under a dense seed (all_dense batches): seed column arithmetic
+    must line up with the dense_k offset."""
+    fm, text, rng = _index(n=4000, ratio=2)
+    dev = fm.to_device(dense_lut_entries=1 << 20)
+    if not dev.meta.dense_k:
+        pytest.skip("no dense table at this text size")
+    plen = dev.meta.dense_k + 5  # odd tail after the dense seed
+    B = 48
+    starts = rng.integers(0, len(text) - plen, size=B)
+    batch = np.frombuffer(text, np.uint8)[
+        np.asarray(starts)[:, None] + np.arange(plen)].copy()
+    counts = np.asarray(dev.count(batch, use_stream=True))
+    for i in range(B):
+        assert counts[i] == fm.count(batch[i].tobytes()), i
+    locs, pids, valid, dropped = dev.locate(batch, use_stream=True)
+    assert int(np.asarray(dropped)[0]) == 0
+    locs, pids, valid = map(np.asarray, (locs, pids, valid))
+    for i in range(B):
+        mine = sorted(locs[valid & (pids == i)].tolist())
+        assert mine == sorted(fm.locate(batch[i].tobytes())), i
