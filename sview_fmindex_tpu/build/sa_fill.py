@@ -77,6 +77,56 @@ def _push_rounds(meta, fused, count_arr, sentinel, pos, val, active, out,
     return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
 
 
+@functools.partial(jax.jit, donate_argnums=(6,), static_argnums=(0, 7, 8))
+def _push_rounds_sorted(meta, count_arr, sentinel, pos, val, active, out,
+                        R: int, rounds: int, stream_tbl):
+    """Stream-decode push rounds that stay in SORTED order across rounds.
+
+    The scatter targets and values are carried per lane, so lane ORDER is
+    irrelevant: ``val`` and the alive bit ride the sort as payloads and the
+    sort+unsort pair inside ``pre_rank_and_symidx_sorted`` collapses to
+    ONE sort per round (the same move as ``ops.search._ranges_chain``).
+    The sentinel check happens on the UNSHIFTED position before the shift
+    (the +1 map is non-injective, so it must never be inverted).
+    """
+    from ..ops import stream_join as sj
+
+    n = out.shape[0]
+    width = pos.shape[0]
+    T = meta.stream_tile
+    C = 1024
+    RW = sj._layout(meta.sigma, T)[0]
+    n_tiles = meta.stream_rows // RW
+    N = sj._pad_len(width, C)
+    pad = N - width
+    if pad:
+        # pad ONCE to the kernel's chunk multiple; pads are permanently
+        # dead lanes (sorts permute lanes, so no slicing mid-chain)
+        pos = jnp.concatenate([pos, jnp.zeros(pad, U32)])
+        val = jnp.concatenate([val, jnp.zeros(pad, U32)])
+        active = jnp.concatenate([active, jnp.zeros(pad, jnp.bool_)])
+    join = sj._join_fn(meta.sigma, T, C, n_tiles, N // C, True,
+                       sj._use_interpret())
+
+    def body(_, carry):
+        pos, val, alive, out = carry
+        is_sent = pos == (sentinel - U32(1))
+        alive = alive & ~is_sent
+        key = jnp.where(alive, pos, U32(0))
+        key = key + (key < sentinel).astype(U32)
+        ks, vs, als = jax.lax.sort(
+            (key, val, alive.astype(jnp.int32)), num_keys=1)
+        ranks, syms = join(ks, jnp.zeros(N, jnp.int32), stream_tbl)
+        alive2 = als == 1
+        nxt = take_small(count_arr, syms, meta.sigma + 1) + ranks
+        tgt = jnp.where(alive2, nxt, U32(n))
+        out = out.at[tgt].set(vs - U32(1), mode="drop")
+        cont = alive2 & (nxt % U32(R) != 0)
+        return nxt, vs - U32(1), cont, out
+
+    return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _seed(sa_up, n: int, R: int, width: int):
     m = sa_up.shape[0]
@@ -141,7 +191,8 @@ def _pull_wrap(meta, fused, count_arr, sentinel, out, limit: int):
 
 def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
                         R: int, stream_tbl=None, use_stream: bool = False,
-                        rounds_per_call: int = 4):
+                        rounds_per_call: int = 4,
+                        stream_min_width: int = 1 << 24):
     """uint32 [n] device array == the full suffix array.
 
     ``sa_up``: device uint32 [m] with ``sa_up[i] == SA[R*i]`` (i.e. the
@@ -164,20 +215,32 @@ def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
     while True:
         # stream decode only for the few widest rounds: each (width, engine)
         # pair is its own compiled program AND pays a one-time executable
-        # load; the 4x compaction ladder bounds the program count
-        stream_now = bool(use_stream) and width >= (1 << 24)
+        # load; the 4x compaction ladder bounds the program count.  The
+        # stream rounds stay in sorted order (_push_rounds_sorted): one
+        # sort per round instead of the sort+unsort pair.
+        stream_now = bool(use_stream) and width >= stream_min_width
         t0 = time.time()
-        pos, val, active, out = _push_rounds(
-            meta, fused, count_arr, sentinel, pos, val, active, out,
-            R, rounds_per_call, stream_now, stream_tbl)
+        if stream_now:
+            pos, val, active, out = _push_rounds_sorted(
+                meta, count_arr, sentinel, pos, val, active, out,
+                R, rounds_per_call, stream_tbl)
+            width = pos.shape[0]  # sorted rounds may pad to the chunk size
+        else:
+            pos, val, active, out = _push_rounds(
+                meta, fused, count_arr, sentinel, pos, val, active, out,
+                R, rounds_per_call, stream_now, stream_tbl)
         c = int(jnp.sum(active.astype(jnp.int32)))
         if verbose:
             print(f"[sa_fill] width={width} stream={stream_now} "
                   f"active={c} ({time.time()-t0:.2f}s)", flush=True)
         if c == 0:
             break
-        while c <= width // 4 and width > 4096:
-            width //= 4
+        # 2x ladder: rounds cost ~width regardless of live-lane count, so
+        # halving width as soon as half the lanes are dead saves more than
+        # the extra per-width compiles cost (all persistent-cache hits
+        # after the first run)
+        while c <= width // 2 and width > 4096:
+            width //= 2
             pos, val, active = _compact(pos, val, active, width)
 
     # wrap segment: at most ~R + a geometric tail of rows remain

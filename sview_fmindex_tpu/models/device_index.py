@@ -285,9 +285,44 @@ class DeviceFmIndex:
         )
 
         put = functools.partial(jax.device_put, device=device)
+        import sys
+        import time as _time
+
+        trace = os.environ.get("SVIEW_UPLOAD_TRACE") == "1"
+        t_tr = [_time.time()]
+
+        def _tr(label, *arrs):
+            if not trace:
+                return
+            for a in arrs:
+                jax.block_until_ready(a)
+            now = _time.time()
+            print(f"[upload] {label}: {now - t_tr[0]:.1f}s",
+                  file=sys.stderr, flush=True)
+            t_tr[0] = now
+
         fused_dev = put(fused)
         count_dev = put(fm.count_array.astype(np.uint32))
         sent_dev = put(np.uint32(fm.sentinel_index))
+        _tr("fused+small put", fused_dev, count_dev)
+        # issue EVERY remaining host->device transfer NOW: device_put is
+        # async, so the ~30 MB/s tunnel moves these bytes while the
+        # derivation programs below (stream reshape, pair build, SA fill,
+        # dense extension) occupy the chip — previously each upload was
+        # issued right before its consumer and the cold path was strictly
+        # serial (VERDICT r4 #4).
+        kmer_dev = put(fm.kmer_count_table.astype(np.uint32))
+        enc_dev = put(enc_table)
+        dlo_dev, dhi_dev = put(d_lo), put(d_hi)
+        sa_up = sa_dev = None
+        if sa_device_fill:
+            ratio = max(int(sa_fill_ratio), 1)
+            sa_up = put(np.ascontiguousarray(
+                fm.suffix_array[::ratio]).astype(np.uint32))
+        elif sa_full is not None:
+            sa_dev = put(sa_full.astype(np.uint32, copy=False))
+        else:
+            sa_dev = put(fm.suffix_array.astype(np.uint32))
 
         if use_stream_engine:
             if stream_derive:
@@ -313,6 +348,7 @@ class DeviceFmIndex:
             stream_dev = put(np.zeros((stream_join._layout(
                 sigma, stream_tile)[0], stream_tile),
                                       np.int32))
+        _tr("stream table", stream_dev)
 
         if use_pair:
             from ..build.pair_table import build_pair_table_device
@@ -325,40 +361,36 @@ class DeviceFmIndex:
             pair_gtbl = put(np.zeros((1, 8), np.uint32))
             pair_c2 = put(np.zeros(max(sigma * sigma, 1), np.uint32))
             pair_fix = put(np.array([0xFFFFFFFF, 0], np.uint32))
+        _tr("pair table", pair_tbl)
 
-        if sa_device_fill:
-            from ..build.sa_fill import fill_sa_full_device
-
-            ratio = max(int(sa_fill_ratio), 1)
-            sa_up = put(np.ascontiguousarray(
-                fm.suffix_array[::ratio]).astype(np.uint32))
-            sa_dev = fill_sa_full_device(
-                meta, fused_dev, count_dev, sent_dev, sa_up,
-                fm.text_len, fm.sampling_ratio * ratio,
-                stream_tbl=stream_dev,
-                use_stream=(use_stream_engine
-                            and jax.default_backend() == "tpu"))
-        elif sa_full is not None:
-            sa_dev = put(sa_full.astype(np.uint32, copy=False))
-        else:
-            sa_dev = put(fm.suffix_array.astype(np.uint32))
-
-        dlo_dev, dhi_dev = put(d_lo), put(d_hi)
         if dk and dk > dk_host:
             from ..build.dense_lut import extend_dense_lut_device
 
             dlo_dev, dhi_dev = extend_dense_lut_device(
                 meta, fused_dev, np.asarray(fm.count_array, dtype=np.uint32),
                 sent_dev, dlo_dev, dhi_dev, dk - dk_host)
+        _tr("dense extension", dlo_dev)
+
+        if sa_device_fill:
+            from ..build.sa_fill import fill_sa_full_device
+
+            ratio = max(int(sa_fill_ratio), 1)
+            sa_dev = fill_sa_full_device(
+                meta, fused_dev, count_dev, sent_dev, sa_up,
+                fm.text_len, fm.sampling_ratio * ratio,
+                stream_tbl=stream_dev,
+                use_stream=(use_stream_engine
+                            and jax.default_backend() == "tpu"))
+        _tr("sa fill", sa_dev)
         return cls(
             fused=fused_dev,
-            kmer_tbl=put(fm.kmer_count_table.astype(np.uint32)),
+            kmer_tbl=kmer_dev,
             dense_lo=dlo_dev,
             dense_hi=dhi_dev,
             count_arr=count_dev,
             sa=sa_dev,
             sentinel=sent_dev,
-            enc_table=put(enc_table),
+            enc_table=enc_dev,
             stream_tbl=stream_dev,
             pair_tbl=pair_tbl,
             pair_gtbl=pair_gtbl,

@@ -91,3 +91,28 @@ def test_plane_reduced_fused_width():
     dev = fm.to_device(dense_lut_entries=0)
     assert dev.meta.num_planes == 2
     assert dev.fused.shape[1] == 4 + 2 * 2  # sigma + planes_eff * lanes
+
+
+@pytest.mark.parametrize("n,ratio", [(10007, 4), (3001, 2)])
+def test_sa_fill_sorted_stream_rounds_match_builder(n, ratio):
+    """The sorted stream-decode push rounds (_push_rounds_sorted) must be
+    bit-exact vs the gather rounds — forced on at tiny widths via
+    stream_min_width=0 (interpret-mode kernel on CPU)."""
+    rng = np.random.default_rng(n * 13 + ratio)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "sa.u32")
+        fm = _build(text, [b"A", b"C", b"G", b"T"], fmx.BLOCK3_U64,
+                    sa_full_path=p)
+        sa_true = np.fromfile(p, dtype="<u4")
+    host = fm.to_device(dense_lut_entries=0)
+    from sview_fmindex_tpu.build.sa_fill import fill_sa_full_device
+    import jax.numpy as jnp
+
+    R = fm.sampling_ratio * ratio
+    sa_up = jnp.asarray(fm.suffix_array[::ratio].astype(np.uint32))
+    got = fill_sa_full_device(
+        host.meta, host.fused, host.count_arr, host.sentinel, sa_up,
+        n, R, stream_tbl=host.stream_tbl, use_stream=True,
+        stream_min_width=0)
+    np.testing.assert_array_equal(np.asarray(got), sa_true)
