@@ -56,7 +56,7 @@ class IndexMeta:
     jax.tree_util.register_dataclass,
     data_fields=["fused", "kmer_tbl", "dense_lo", "dense_hi", "count_arr",
                  "sa", "sentinel", "enc_table", "stream_tbl", "pair_tbl",
-                 "pair_gtbl", "pair_c2", "pair_fix"],
+                 "pair_gtbl", "pair_c2", "pair_fix", "seg_base"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +74,9 @@ class DeviceFmIndex:
     pair_gtbl: jax.Array
     pair_c2: jax.Array
     pair_fix: jax.Array
+    # wide stream engine only: 2-lane global counts at segment starts
+    # (ops/wide.py); zeros([2,1]) for narrow indexes
+    seg_base: jax.Array
     meta: IndexMeta
 
     # ------------------------------------------------------------------
@@ -124,9 +127,9 @@ class DeviceFmIndex:
         kind = fm.block
         wide = force_wide or fm.text_len >= 2**32
         if wide:
-            # two-lane u32 position engine (ops/wide.py): gather engine
-            # only, no dense seeds / stream / pair / sa_full
-            return cls._from_host_wide(fm, device=device)
+            # two-lane u32 position engine (ops/wide.py): blkkey stream
+            # engine + gather fallback; no dense seeds / pair / sa_full
+            return cls._from_host_wide(fm, device=device, stream=stream)
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
 
@@ -396,18 +399,23 @@ class DeviceFmIndex:
             pair_gtbl=pair_gtbl,
             pair_c2=pair_c2,
             pair_fix=pair_fix,
+            seg_base=put(np.zeros((2, 1), np.uint32)),
             meta=meta,
         )
 
     # ------------------------------------------------------------------
     @classmethod
-    def _from_host_wide(cls, fm, device=None) -> "DeviceFmIndex":
+    def _from_host_wide(cls, fm, device=None,
+                        stream: bool = True) -> "DeviceFmIndex":
         """Upload with two-lane u32 position values (texts >= 2^32).
 
         The reference's u64 ``Position`` (``text_length.rs:87-129``) on a
         32-bit device ISA: value arrays split into (hi, lo) uint32 lanes,
-        block indices stay uint32 (valid to 2^38 bp).  See ``ops/wide.py``
-        for the restrictions (gather engine, power-of-two sampling ratio).
+        block indices stay uint32 (valid to 2^38 bp).  Any sampling ratio
+        1..2^15 is supported (``ops.wide.p_divmod_const``); batches are
+        served by the wide STREAM engine (blkkey sort-join kernel +
+        segment-local checkpoints, ``ops/wide.py``) up to
+        ``STREAM_WIDE_MAX_LANES`` lanes, gather engine beyond.
         """
         kind = fm.block
         if fm.text_len >= 2**38:
@@ -416,10 +424,10 @@ class DeviceFmIndex:
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
         r = fm.sampling_ratio
-        if r < 2 or r & (r - 1):
+        if r < 1 or r > (1 << 15):
             raise BuildError(
-                "wide device path requires a power-of-two sampling ratio "
-                ">= 2 (the locate walk's div/mod must stay lane-local)")
+                "wide device path requires 1 <= sampling_ratio <= 2^15 "
+                "(p_divmod_const envelope)")
         # the locate walk's SA fold and _split_pos_wide's block fold pack
         # the two-lane position into ONE uint32 index (ops/wide.py); both
         # wrap unless n/r and n/block_len fit uint32.  Validate the REAL
@@ -449,6 +457,17 @@ class DeviceFmIndex:
             return np.stack([(a >> np.uint64(32)).astype(np.uint32),
                              (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
 
+        all_lo = fm.text_len <= 0xFFFFFFFF  # every position value < 2^32
+
+        def put2(a):
+            """2-lane upload; when every value fits the low lane (a
+            force_wide run on a < 4 Gbp text) the hi lane is built on
+            device instead of shipping GBs of zeros through the tunnel."""
+            if not all_lo:
+                return put(split2(a))
+            lo = put(np.asarray(a).astype(np.uint32))
+            return jnp.concatenate([jnp.zeros_like(lo)[None], lo[None]])
+
         if isinstance(fm.encoder, EncodingTable):
             enc_table = fm.encoder.table.astype(np.int32)
             enc_identity = False
@@ -462,28 +481,46 @@ class DeviceFmIndex:
             enc_default = 0
             enc_pairs = ()
 
+        from ..ops import stream_join
+
+        use_stream_engine = stream and sigma <= 63
+        stream_tile = IndexMeta.stream_tile
         meta = IndexMeta(
             sigma=sigma, kmer_size=fm.kmer_size, sampling_ratio=r,
             block_len=kind.block_len, num_planes=planes_eff,
             num_lanes=kind.num_lanes, wide_pos=True,
+            stream_rows=stream_join.stream_table_rows(
+                sigma, fm.text_len, stream_tile) if use_stream_engine else 0,
+            stream_tile=stream_tile,
             enc_identity=enc_identity, enc_pairs=enc_pairs,
             enc_default=enc_default,
         )
         put = functools.partial(jax.device_put, device=device)
+        fused_dev = put(fused)
+        if use_stream_engine:
+            stream_dev, seg_base = stream_join.derive_stream_table_wide(
+                meta, fused_dev, fm.text_len, stream_tile)
+            if device is not None:
+                stream_dev = jax.device_put(stream_dev, device)
+                seg_base = jax.device_put(seg_base, device)
+        else:
+            stream_dev = put(np.zeros((8, stream_tile), np.int32))
+            seg_base = put(np.zeros((2, 1), np.uint32))
         return cls(
-            fused=put(fused),
-            kmer_tbl=put(split2(fm.kmer_count_table)),
+            fused=fused_dev,
+            kmer_tbl=put2(fm.kmer_count_table),
             dense_lo=put(np.zeros(1, np.uint32)),
             dense_hi=put(np.zeros(1, np.uint32)),
-            count_arr=put(split2(fm.count_array)),
-            sa=put(split2(fm.suffix_array)),
+            count_arr=put2(fm.count_array),
+            sa=put2(fm.suffix_array),
             sentinel=put(split2(np.array([fm.sentinel_index]))[:, 0]),
             enc_table=put(enc_table),
-            stream_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
-            pair_tbl=put(np.zeros((8, IndexMeta.stream_tile), np.int32)),
+            stream_tbl=stream_dev,
+            pair_tbl=put(np.zeros((8, stream_tile), np.int32)),
             pair_gtbl=put(np.zeros((1, 8), np.uint32)),
             pair_c2=put(np.zeros(max(sigma * sigma, 1), np.uint32)),
             pair_fix=put(np.array([0xFFFFFFFF, 0], np.uint32)),
+            seg_base=seg_base,
             meta=meta,
         )
 
@@ -536,7 +573,8 @@ class DeviceFmIndex:
         fallback above ``STREAM_MAX_BATCH`` instead of inferring it from
         throughput."""
         if self.meta.wide_pos:
-            return "wide-gather"
+            return ("wide-stream" if self._stream_wide(B, use_stream)
+                    else "wide-gather")
         import warnings
 
         with warnings.catch_warnings():
@@ -545,6 +583,27 @@ class DeviceFmIndex:
         if not stream:
             return "gather"
         return "pair-stream" if (use_pair and self.meta.pair_rows) else "stream"
+
+    def _stream_wide(self, B: int, use_stream: bool | None) -> bool:
+        """Wide batches use the blkkey stream engine while 2B lanes fit
+        the 18-bit payload budget (ops.wide.STREAM_WIDE_MAX_LANES);
+        beyond it the gather engine serves them, with a warning (chunk
+        the batch)."""
+        from ..ops.wide import STREAM_WIDE_MAX_LANES
+
+        if self.meta.stream_rows == 0 or use_stream is False:
+            return False
+        if 2 * B >= STREAM_WIDE_MAX_LANES:
+            if use_stream:
+                import warnings
+
+                warnings.warn(
+                    f"wide batch of {B} patterns exceeds the wide stream "
+                    f"engine's payload budget ({STREAM_WIDE_MAX_LANES // 2}"
+                    " patterns); serving it with the gather engine. Chunk "
+                    "the batch.", RuntimeWarning, stacklevel=3)
+            return False
+        return True
 
     def count(self, patterns, lens=None, use_stream: bool | None = None,
               use_pair: bool = True) -> jax.Array:
@@ -557,7 +616,9 @@ class DeviceFmIndex:
         ``ops.wide.combine64``."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         if self.meta.wide_pos:
-            return _wide_counts_jit(self, patterns, lens, steps)
+            return _wide_counts_jit(
+                self, patterns, lens, steps,
+                self._stream_wide(patterns.shape[0], use_stream))
         lo, hi = _ranges_jit(self, patterns, lens, steps,
                              self._stream(patterns.shape[0], use_stream),
                              facts, use_pair)
@@ -568,7 +629,9 @@ class DeviceFmIndex:
         (lo_hi, lo_lo, hi_hi, hi_lo)."""
         patterns, lens, steps, facts = _as_batch(self.meta, patterns, lens)
         if self.meta.wide_pos:
-            return _wide_ranges_jit(self, patterns, lens, steps)
+            return _wide_ranges_jit(
+                self, patterns, lens, steps,
+                self._stream_wide(patterns.shape[0], use_stream))
         return _ranges_jit(self, patterns, lens, steps,
                            self._stream(patterns.shape[0], use_stream), facts)
 
@@ -589,12 +652,14 @@ class DeviceFmIndex:
         if self.meta.wide_pos:
             from ..ops import wide as wide_ops
 
-            bounds = _wide_ranges_jit(self, patterns, lens, steps)
+            wstream = self._stream_wide(patterns.shape[0], use_stream)
+            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream)
             if capacity is None:
                 counts = wide_ops.combine64(*_pair_sub_jit(bounds))
                 capacity = locate_ops.expand_capacity(counts)
             locs_h, locs_l, pids, valid, dropped = _wide_resolve_jit(
-                self, bounds, capacity)
+                self, bounds, capacity,
+                wstream and capacity < wide_ops.STREAM_WIDE_MAX_LANES)
             return jnp.stack([locs_h, locs_l]), pids, valid, dropped
         stream = self._stream(patterns.shape[0], use_stream)
         lo, hi = _ranges_jit(self, patterns, lens, steps, stream, facts,
@@ -614,13 +679,15 @@ class DeviceFmIndex:
         if self.meta.wide_pos:
             from ..ops import wide as wide_ops
 
-            bounds = _wide_ranges_jit(self, patterns, lens, steps)
+            wstream = self._stream_wide(patterns.shape[0], use_stream)
+            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream)
             counts = _wide_counts_from_bounds(bounds)
             if capacity is None:
                 capacity = locate_ops.expand_capacity(
                     wide_ops.combine64(counts[0], counts[1]))
             locs_h, locs_l, pids, valid, dropped = _wide_resolve_jit(
-                self, bounds, capacity)
+                self, bounds, capacity,
+                wstream and capacity < wide_ops.STREAM_WIDE_MAX_LANES)
             return (jnp.stack([locs_h, locs_l]), pids, valid, counts,
                     dropped)
         stream = self._stream(patterns.shape[0], use_stream)
@@ -661,14 +728,16 @@ def _as_batch(meta, patterns, lens):
     return patterns, jnp.asarray(lens_host), steps, (all_dense, fixed_len)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _wide_ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _wide_ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
+                     use_stream: bool = False):
     from ..ops import wide as wide_ops
 
     sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
     return wide_ops.pos_ranges_wide(
         idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
-        sym, lens, steps)
+        sym, lens, steps, stream_tbl=idx.stream_tbl, seg_base=idx.seg_base,
+        use_stream=use_stream)
 
 
 @jax.jit
@@ -679,8 +748,9 @@ def _wide_counts_from_bounds(bounds):
     return jnp.stack(wide_ops.p_sub(hi_h, hi_l, lo_h, lo_l))
 
 
-def _wide_counts_jit(idx, patterns, lens, steps):
-    return _wide_counts_from_bounds(_wide_ranges_jit(idx, patterns, lens, steps))
+def _wide_counts_jit(idx, patterns, lens, steps, use_stream=False):
+    return _wide_counts_from_bounds(
+        _wide_ranges_jit(idx, patterns, lens, steps, use_stream))
 
 
 @jax.jit
@@ -691,14 +761,16 @@ def _pair_sub_jit(bounds):
     return wide_ops.p_sub(hi_h, hi_l, lo_h, lo_l)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _wide_resolve_jit(idx: DeviceFmIndex, bounds, capacity: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _wide_resolve_jit(idx: DeviceFmIndex, bounds, capacity: int,
+                      use_stream: bool = False):
     from ..ops import wide as wide_ops
 
     lo_h, lo_l, hi_h, hi_l = bounds
     return wide_ops.locate_rows_wide(
         idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
-        lo_h, lo_l, hi_h, hi_l, capacity)
+        lo_h, lo_l, hi_h, hi_l, capacity, stream_tbl=idx.stream_tbl,
+        seg_base=idx.seg_base, use_stream=use_stream)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))

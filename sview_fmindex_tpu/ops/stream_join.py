@@ -209,11 +209,93 @@ def derive_stream_table(meta, fused: jax.Array, text_len: int,
     return jax.lax.bitcast_convert_type(out, jnp.int32)
 
 
+SEG_BLOCKS = 1 << 24  # wide-table segment: 2^24 stream blocks = 2^31 positions
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def derive_stream_table_wide(meta, fused: jax.Array, text_len: int,
+                             tile_rows: int):
+    """Stream table for a WIDE (two-lane u64-position) index, served by the
+    ``blkkey`` kernel variant.
+
+    The kernel stays pure u32: checkpoints are stored SEGMENT-LOCAL (count
+    of each symbol between the segment's first block and this block — at
+    most 2^31 positions, so u32 is exact), and the returned
+    ``seg_base`` u32 [2, n_segs * sigma] holds the 2-lane GLOBAL count at
+    each segment start; the caller adds it back outside the kernel.  Wide
+    fused layout: [n_blocks, 2*sigma + planes*lanes] (hi ckpts, lo ckpts,
+    plane lanes) — see ``DeviceFmIndex._from_host_wide``.
+
+    Requires ``tile_rows`` to divide ``SEG_BLOCKS`` so every tile lies in
+    one segment.
+    """
+    sigma = meta.sigma
+    BL = meta.block_len
+    assert SBL % BL == 0, (SBL, BL)
+    assert SEG_BLOCKS % tile_rows == 0, (SEG_BLOCKS, tile_rows)
+    g = SBL // BL
+    P = _planes_for(sigma)
+    assert P <= meta.num_planes, (P, meta.num_planes)
+    RW, G = _layout(sigma, tile_rows)
+    fl = meta.num_lanes
+    Wf = fused.shape[1]
+    n_blocks_s = text_len // SBL + 1
+    n_tiles = -(-(-(-n_blocks_s // tile_rows)) // G) * G
+    n_pad = n_tiles * tile_rows
+    n_segs = -(-n_pad // SEG_BLOCKS)
+    stride = g * Wf
+    need = n_pad * stride
+    f1 = fused.reshape(-1)
+    if need > f1.shape[0]:
+        f1 = jnp.concatenate([f1, jnp.zeros(need - f1.shape[0], jnp.uint32)])
+    else:
+        f1 = f1[:need]
+
+    def word(off: int) -> jax.Array:
+        return jax.lax.slice(f1, (off,), (off + (n_pad - 1) * stride + 1,),
+                             (stride,))
+
+    # seg_base: global 2-lane checkpoint at each segment's first block
+    seg_starts = jnp.arange(n_segs, dtype=jnp.int32) * SEG_BLOCKS * stride
+    base_h = []
+    base_l = []
+    for s in range(sigma):
+        base_h.append(jnp.take(f1, seg_starts + s))
+        base_l.append(jnp.take(f1, seg_starts + sigma + s))
+    seg_base = jnp.stack([
+        jnp.stack(base_h, axis=1).reshape(-1),
+        jnp.stack(base_l, axis=1).reshape(-1)])  # [2, n_segs*sigma]
+
+    tiles_per_seg = SEG_BLOCKS // tile_rows
+    tile_seg = jnp.arange(n_tiles, dtype=jnp.int32) // tiles_per_seg
+
+    zero = jnp.zeros((n_tiles, tile_rows), jnp.uint32)
+    rows = []
+    for w in range(RW):
+        if w < sigma:
+            # local checkpoint = global_lo - seg_base_lo: the true local
+            # count < 2^31, so the wrapping u32 subtraction of the low
+            # words is exact (no hi word needed)
+            glo = word(sigma + w).reshape(n_tiles, tile_rows)
+            bl = jnp.take(seg_base[1], tile_seg * sigma + w)
+            rows.append(glo - bl[:, None])
+        elif w < sigma + P * LANES:
+            q = w - sigma
+            p, l = q // LANES, q % LANES
+            off = (l // fl) * Wf + 2 * sigma + p * fl + (l % fl)
+            rows.append(word(off).reshape(n_tiles, tile_rows))
+        else:
+            rows.append(zero)
+    out = jnp.stack(rows, axis=1).reshape(n_tiles * RW, tile_rows)
+    return jax.lax.bitcast_convert_type(out, jnp.int32), seg_base
+
+
 # ---------------------------------------------------------------------------
 # the join kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
+def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool,
+                 blkkey: bool = False):
     """Grid over table tiles; walks sorted query chunks with a persistent
     SMEM cursor.  ``decode=False``: rank_next(pos, sym).  ``decode=True``:
     (rank, symidx) at pos (the locate-walk primitive).
@@ -225,6 +307,13 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
     rows per tile, Mosaic's 8-sublane divisibility satisfied by the G*RW
     block); consecutive grid steps revisit the same block index, so Pallas
     fetches it once.
+
+    ``blkkey`` (the wide-position mode): the ``pos`` operand is the stream
+    BLOCK id itself (u32 — valid to 2^38 bp) and the in-block remainder
+    rides ``meta`` bits 6..12 (``meta = payload<<13 | rem<<6 | sym``).
+    The table must then hold SEGMENT-LOCAL checkpoints (u32 counts, see
+    ``derive_stream_table_wide``); the caller adds the 2-lane segment base
+    outside the kernel.
     """
     P = _planes_for(sigma)
     RW, G = _layout(sigma, T)
@@ -257,7 +346,10 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
             # residue): Mosaic rejects dynamic sublane starts but compiles
             # unaligned static slices like [12:24, :] fine.
             pos_row = pos_buf[j].reshape(1, 128)                 # [1,128] u32
-            blk = (pos_row >> SBL_SHIFT).astype(jnp.int32)
+            if blkkey:
+                blk = pos_row.astype(jnp.int32)
+            else:
+                blk = (pos_row >> SBL_SHIFT).astype(jnp.int32)
             mine = (blk >= win_lo) & (blk < win_hi)              # [1,128]
 
             @pl.when(jnp.any(mine))
@@ -277,7 +369,10 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
                     acc = jnp.where(grp == g, part, acc)
                 words = acc.astype(jnp.uint32)                   # [RW,128]
 
-                rem = (pos_row & U32(SBL - 1)).astype(jnp.int32)  # [1,128]
+                if blkkey:
+                    rem = ((meta_buf[j].reshape(1, 128) >> 6) & 127)
+                else:
+                    rem = (pos_row & U32(SBL - 1)).astype(jnp.int32)
 
                 def wrow(i):  # one table row as [1,128]
                     return words[i].reshape(1, 128)
@@ -285,7 +380,7 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
                 if decode:
                     # symbol at the row position: one bit per plane
                     lane_star = rem >> 5
-                    bit_star = (U32(31) - (pos_row & U32(31)))
+                    bit_star = (U32(31) - (rem.astype(U32) & U32(31)))
                     sym = jnp.zeros((1, 128), jnp.int32)
                     for p in range(P):
                         lv = jnp.zeros((1, 128), U32)
@@ -324,7 +419,10 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
             return carry
 
         def body(carry):
-            blks = (pos_buf[:] >> SBL_SHIFT).astype(jnp.int32)
+            if blkkey:
+                blks = pos_buf[:].astype(jnp.int32)
+            else:
+                blks = (pos_buf[:] >> SBL_SHIFT).astype(jnp.int32)
             minblk = jnp.min(blks)
             maxblk = jnp.max(blks)
 
@@ -371,8 +469,8 @@ def _make_kernel(sigma: int, T: int, C: int, n_chunks: int, decode: bool):
 
 @functools.lru_cache(maxsize=64)
 def _join_fn(sigma: int, T: int, C: int, n_tiles: int, n_chunks: int,
-             decode: bool, interpret: bool):
-    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode)
+             decode: bool, interpret: bool, blkkey: bool = False):
+    kernel, RW = _make_kernel(sigma, T, C, n_chunks, decode, blkkey)
     G = _layout(sigma, T)[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -15,11 +15,15 @@ Wide device layout (``meta.wide_pos``):
 - ``kmer_tbl``/``count_arr``/``sa``: uint32 [2, ...] (row 0 = hi),
 - ``sentinel``: uint32 [2].
 
-Restrictions (documented, validated at upload): gather engine only (the
-stream/pair sort payloads assume narrow positions — a per-shard follow-up
-once range-sharded locals are < 2^32), dense seeds off, and
-``sampling_ratio`` must be a power of two (the locate walk's div/mod stay
-lane-local shifts; the reference's default benchmark ratio 2 qualifies).
+Engines: the wide STREAM engine serves batches whose 2B lanes fit an
+18-bit sort payload (``STREAM_WIDE_MAX_LANES``; chunk larger batches) —
+the sort key is the u32 stream-BLOCK id (valid to 2^38 bp), the in-block
+remainder rides the payload, and the kernel returns SEGMENT-LOCAL u32
+ranks lifted to 2-lane global ranks by a tiny per-segment base table
+(``stream_join.derive_stream_table_wide``).  The gather engine serves
+everything else.  Remaining restrictions (documented, validated at
+upload): dense seeds and the pair engine are off, and ``sampling_ratio``
+must be 1..2^15 (``p_divmod_const`` — any ratio, not just powers of two).
 
 The math mirrors ``ops/rank.py`` / ``ops/search.py`` / ``ops/locate.py``
 exactly — same sentinel +1 shift (``bwm/mod.rs:202-204``), same k-mer
@@ -61,6 +65,35 @@ def p_lt(h1, l1, h2, l2):
 
 def p_where(c, h1, l1, h2, l2):
     return jnp.where(c, h1, h2), jnp.where(c, l1, l2)
+
+
+def p_divmod_const(h, l, r: int):
+    """(q, mod) of the two-lane value v = h*2^32 + l by the STATIC divisor
+    ``r``, exact for v < r * 2^32 (the wide upload envelope, which implies
+    h < r) and r <= 2^15.
+
+    Decompose 2^32 = A*r + Bm: v = (h*A)*r + h*Bm + l, so
+    q = h*A + (h*Bm + l)//r.  h*A <= v/r < 2^32 fits u32 exactly;
+    h*Bm < 2^30, so the inner sum wraps at most once, and the wrapped
+    remainder (< 2^30) plus Bm cannot wrap again.  Lifts the wide locate
+    walk's former power-of-two-only restriction (the reference allows any
+    ratio >= 2, ``suffix_array_config.rs:4-33``).
+    """
+    if r == 1:
+        # envelope: r=1 => v < 2^32 => h == 0
+        return l, jnp.zeros_like(l)
+    if r & (r - 1) == 0:
+        k = r.bit_length() - 1
+        return (h << U32(32 - k)) | (l >> U32(k)), l & U32(r - 1)
+    assert r <= (1 << 15), r
+    A = U32((1 << 32) // r)
+    Bm = U32((1 << 32) % r)
+    q = h * A
+    s = h * Bm + l
+    w1 = (s < l).astype(U32)  # inner sum wrapped past 2^32
+    q = q + w1 * A
+    s = s + w1 * Bm  # wrapped remainder < 2^30, + Bm < 2^15: no second wrap
+    return q + s // U32(r), s % U32(r)
 
 
 def combine64(h, l):
@@ -152,6 +185,101 @@ def pre_rank_and_symidx_wide(meta, fused, sent, ph, pl):
 
 
 # ---------------------------------------------------------------------------
+# streaming (sort-join) rank — the wide perf path
+# ---------------------------------------------------------------------------
+
+# payload<<13 budget: lane index must fit 18 bits in the int32 payload
+STREAM_WIDE_MAX_LANES = (1 << 18) - 2048
+
+
+def _wide_stream_prep(meta, sent, ph, pl):
+    """Shift + split a two-lane position for the blkkey kernel: returns
+    (gblk u32 sort key, rem u32, seg i32)."""
+    shift = p_lt(ph, pl, sent[0], sent[1]).astype(U32)
+    ph, pl = p_add_u32(ph, pl, shift)
+    gblk = (ph << U32(32 - 7)) | (pl >> U32(7))  # u32 for n < 2^38
+    rem = pl & U32(127)
+    seg = (gblk >> U32(24)).astype(jnp.int32)
+    return gblk, rem, seg
+
+
+def _seg_base_at(meta, seg_base, seg, sym):
+    """2-lane global count at a query's segment start (tiny-table gather)."""
+    idx = seg * meta.sigma + sym
+    return jnp.take(seg_base[0], idx), jnp.take(seg_base[1], idx)
+
+
+def rank_next_sorted_wide(meta, stream_tbl, seg_base, sent, ph, pl, sym):
+    """Two-lane ``get_next_rank`` via the blkkey sort-join kernel.
+
+    The sort key is the u32 stream-block id; the in-block remainder and
+    symbol ride the payload (``idx<<13 | rem<<6 | sym``), the kernel
+    returns the SEGMENT-LOCAL u32 rank, and the 2-lane segment base is
+    added back in lane order.  Bit-exact vs :func:`rank_next_wide`.
+    Requires n_lanes <= STREAM_WIDE_MAX_LANES (the 18-bit payload budget).
+    """
+    from . import stream_join as sj
+
+    n = ph.shape[0]
+    T = meta.stream_tile
+    C = 1024
+    RW = sj._layout(meta.sigma, T)[0]
+    n_tiles = meta.stream_rows // RW
+    N = sj._pad_len(n, C)
+    pad = N - n
+    gblk, rem, seg = _wide_stream_prep(meta, sent, ph, pl)
+    payload = ((jnp.arange(n, dtype=jnp.int32) << 13)
+               | (rem.astype(jnp.int32) << 6) | sym)
+    if pad:
+        gblk = jnp.concatenate(
+            [gblk, jnp.full(pad, U32(n_tiles * T - 1))])
+        payload = jnp.concatenate(
+            [payload, (jnp.arange(pad, dtype=jnp.int32) + n) << 13])
+    sp, sm = jax.lax.sort((gblk, payload), num_keys=1)
+    join = sj._join_fn(meta.sigma, T, C, n_tiles, N // C, False,
+                       sj._use_interpret(), True)
+    local, _ = join(sp, sm, stream_tbl)
+    _, local_u = jax.lax.sort((sm, local), num_keys=1)
+    local_u = local_u[:n]
+    bh, bl = _seg_base_at(meta, seg_base, seg, sym)
+    return p_add_u32(bh, bl, local_u)
+
+
+def pre_rank_and_symidx_sorted_wide(meta, stream_tbl, seg_base, sent, ph, pl):
+    """Two-lane ``get_pre_rank_and_symidx`` via the blkkey kernel: returns
+    (rank_hi, rank_lo, symidx, is_sentinel); rank/symidx are garbage where
+    is_sentinel (caller masks), matching :func:`pre_rank_and_symidx_wide`."""
+    from . import stream_join as sj
+
+    n = ph.shape[0]
+    T = meta.stream_tile
+    C = 1024
+    RW = sj._layout(meta.sigma, T)[0]
+    n_tiles = meta.stream_rows // RW
+    N = sj._pad_len(n, C)
+    pad = N - n
+    sm1h, sm1l = p_sub(sent[0], sent[1], U32(0), U32(1))
+    is_sent = (ph == sm1h) & (pl == sm1l)
+    gblk, rem, seg = _wide_stream_prep(meta, sent, ph, pl)
+    payload = ((jnp.arange(n, dtype=jnp.int32) << 13)
+               | (rem.astype(jnp.int32) << 6))
+    if pad:
+        gblk = jnp.concatenate(
+            [gblk, jnp.full(pad, U32(n_tiles * T - 1))])
+        payload = jnp.concatenate(
+            [payload, (jnp.arange(pad, dtype=jnp.int32) + n) << 13])
+    sp, sm = jax.lax.sort((gblk, payload), num_keys=1)
+    join = sj._join_fn(meta.sigma, T, C, n_tiles, N // C, True,
+                       sj._use_interpret(), True)
+    local, syms = join(sp, sm, stream_tbl)
+    _, local_u, sym_u = jax.lax.sort((sm, local, syms), num_keys=1)
+    local_u, sym_u = local_u[:n], sym_u[:n]
+    bh, bl = _seg_base_at(meta, seg_base, seg, sym_u)
+    rh, rl = p_add_u32(bh, bl, local_u)
+    return rh, rl, sym_u, is_sent
+
+
+# ---------------------------------------------------------------------------
 # backward search
 # ---------------------------------------------------------------------------
 
@@ -179,12 +307,16 @@ def initial_range_wide(meta, kmer_tbl, sym, lens):
 
 
 def pos_ranges_wide(meta, fused, kmer_tbl, count_arr, sent, sym, lens,
-                    steps: int):
-    """Backward search, gather engine, two-lane bounds."""
+                    steps: int, stream_tbl=None, seg_base=None,
+                    use_stream: bool = False):
+    """Backward search, two-lane bounds.  ``use_stream`` routes the
+    per-step rank queries through the blkkey sort-join kernel (requires
+    the wide stream table + segment bases); gather engine otherwise."""
     lo_h, lo_l, hi_h, hi_l, rem = initial_range_wide(meta, kmer_tbl, sym, lens)
     Lmax = sym.shape[-1]
     if steps == 0:
         return lo_h, lo_l, hi_h, hi_l
+    B = lo_h.shape[0]
 
     def body(t, carry):
         lo_h, lo_l, hi_h, hi_l = carry
@@ -196,7 +328,15 @@ def pos_ranges_wide(meta, fused, kmer_tbl, count_arr, sent, sym, lens,
         el = jnp.stack([jnp.where(active, lo_l, U32(0)),
                         jnp.where(active, hi_l, U32(0))])
         s2 = jnp.broadcast_to(s, eh.shape)
-        rh, rl = rank_next_wide(meta, fused, sent, eh, el, s2)
+        if use_stream:
+            rh, rl = rank_next_sorted_wide(
+                meta, stream_tbl, seg_base, sent,
+                eh.reshape(2 * B), el.reshape(2 * B),
+                jnp.concatenate([s, s]))
+            rh = rh.reshape(2, B)
+            rl = rl.reshape(2, B)
+        else:
+            rh, rl = rank_next_wide(meta, fused, sent, eh, el, s2)
         pre_h = take_small(count_arr[0], s, meta.sigma + 1)
         pre_l = take_small(count_arr[1], s, meta.sigma + 1)
         nlo = p_add(pre_h, pre_l, rh[0], rl[0])
@@ -253,27 +393,31 @@ def expand_ranges_wide(lo_h, lo_l, hi_h, hi_l, capacity: int):
     return rows_h, rows_l, pids, valid, dropped
 
 
-def walk_rows_wide(meta, fused, count_arr, sa, sent, rows_h, rows_l, valid):
-    """Two-lane LF walk to a sampled row (locate/mod.rs:21-35).  Requires a
-    power-of-two sampling ratio (mod/div stay lane-local shifts)."""
+def walk_rows_wide(meta, fused, count_arr, sa, sent, rows_h, rows_l, valid,
+                   stream_tbl=None, seg_base=None, use_stream: bool = False):
+    """Two-lane LF walk to a sampled row (locate/mod.rs:21-35).  Any
+    sampling ratio 1..2^15 (``p_divmod_const``); ``use_stream`` decodes
+    through the blkkey kernel instead of fused-row gathers."""
     r = meta.sampling_ratio
-    assert r >= 2 and r & (r - 1) == 0, r
-    k = r.bit_length() - 1
 
-    def needs_step(pl_, done):
-        return (pl_ & U32(r - 1) != 0) & ~done & valid
+    def needs_step(ph_, pl_, done):
+        return (p_divmod_const(ph_, pl_, r)[1] != 0) & ~done & valid
 
     def cond(carry):
         ph, pl, off, lh, ll, done = carry
-        return jnp.any(needs_step(pl, done))
+        return jnp.any(needs_step(ph, pl, done))
 
     def body(carry):
         ph, pl, off, lh, ll, done = carry
-        need = needs_step(pl, done)
+        need = needs_step(ph, pl, done)
         qh = jnp.where(need, ph, U32(0))
         ql = jnp.where(need, pl, U32(0))
-        rh, rl, symidx, is_sent = pre_rank_and_symidx_wide(
-            meta, fused, sent, qh, ql)
+        if use_stream:
+            rh, rl, symidx, is_sent = pre_rank_and_symidx_sorted_wide(
+                meta, stream_tbl, seg_base, sent, qh, ql)
+        else:
+            rh, rl, symidx, is_sent = pre_rank_and_symidx_wide(
+                meta, fused, sent, qh, ql)
         pre_h = take_small(count_arr[0], symidx, meta.sigma + 1)
         pre_l = take_small(count_arr[1], symidx, meta.sigma + 1)
         hit = need & is_sent
@@ -292,9 +436,8 @@ def walk_rows_wide(meta, fused, count_arr, sa, sent, rows_h, rows_l, valid):
     ph, pl = rows_h, rows_l
     ph, pl, off, lh, ll, done = jax.lax.while_loop(
         cond, body, (ph, pl, off, lh, ll, done))
-    # r >= 2 (upload-validated): the SA index n/r stays below 2^31-ish and
-    # the lane shift folds hi into one uint32 index
-    idx = (ph << U32(32 - k)) | (pl >> U32(k))
+    # upload-validated envelope: the SA index v/r fits one uint32
+    idx = p_divmod_const(ph, pl, r)[0]
     sh = jnp.take(sa[0], idx)
     sl = jnp.take(sa[1], idx)
     sh, sl = p_add_u32(sh, sl, off)
@@ -302,9 +445,11 @@ def walk_rows_wide(meta, fused, count_arr, sa, sent, rows_h, rows_l, valid):
 
 
 def locate_rows_wide(meta, fused, count_arr, sa, sent, lo_h, lo_l,
-                     hi_h, hi_l, capacity: int):
+                     hi_h, hi_l, capacity: int, stream_tbl=None,
+                     seg_base=None, use_stream: bool = False):
     rows_h, rows_l, pids, valid, dropped = expand_ranges_wide(
         lo_h, lo_l, hi_h, hi_l, capacity)
     lh, ll = walk_rows_wide(meta, fused, count_arr, sa, sent,
-                            rows_h, rows_l, valid)
+                            rows_h, rows_l, valid, stream_tbl=stream_tbl,
+                            seg_base=seg_base, use_stream=use_stream)
     return lh, ll, pids, valid, dropped

@@ -73,12 +73,23 @@ class ShardedFmIndex:
 
     def _stream(self, B: int, use_stream: bool | None) -> bool:
         per_shard = B // self.n_devices
+        if self.index.meta.wide_pos:
+            return self.index._stream_wide(per_shard, use_stream)
         if use_stream is None:
             return self.index._stream(per_shard, None)
         return use_stream and self.index.meta.stream_rows > 0
 
     def count(self, patterns, lens, use_stream: bool | None = None):
+        """counts[:b]; numpy uint64 for wide (u64-position) indexes."""
         patterns, lens, b = self._pad(patterns, lens)
+        if self.index.meta.wide_pos:
+            from ..ops.wide import combine64
+
+            lo_h, lo_l, hi_h, hi_l = _wide_ranges_sharded(
+                self.index, patterns, lens, self.mesh, self.axis,
+                self._steps(patterns, lens),
+                self._stream(patterns.shape[0], use_stream))
+            return (combine64(hi_h, hi_l) - combine64(lo_h, lo_l))[:b]
         counts = _count_sharded(
             self.index, patterns, lens, self.mesh, self.axis,
             self._steps(patterns, lens),
@@ -89,6 +100,12 @@ class ShardedFmIndex:
 
     def pos_ranges(self, patterns, lens, use_stream: bool | None = None):
         patterns, lens, b = self._pad(patterns, lens)
+        if self.index.meta.wide_pos:
+            out = _wide_ranges_sharded(
+                self.index, patterns, lens, self.mesh, self.axis,
+                self._steps(patterns, lens),
+                self._stream(patterns.shape[0], use_stream))
+            return tuple(x[:b] for x in out)
         lo, hi = _ranges_sharded(
             self.index, patterns, lens, self.mesh, self.axis,
             self._steps(patterns, lens),
@@ -113,6 +130,29 @@ class ShardedFmIndex:
         patterns, lens, b = self._pad(patterns, lens)
         steps = self._steps(patterns, lens)
         stream = self._stream(patterns.shape[0], use_stream)
+        if self.index.meta.wide_pos:
+            from ..ops.wide import combine64
+
+            bounds = _wide_ranges_sharded(
+                self.index, patterns, lens, self.mesh, self.axis, steps,
+                stream)
+            if capacity_per_shard is None:
+                lo_h, lo_l, hi_h, hi_l = map(np.asarray, bounds)
+                counts = combine64(hi_h, hi_l) - combine64(lo_h, lo_l)
+                counts[b:] = 0
+                per_shard = patterns.shape[0] // self.n_devices
+                capacity_per_shard = max(
+                    locate_ops.expand_capacity(c, base=per_shard)
+                    for c in counts.reshape(self.n_devices, per_shard))
+            from ..ops.wide import STREAM_WIDE_MAX_LANES
+
+            lh, ll, pids, valid, dropped = _wide_resolve_sharded(
+                self.index, bounds, self.mesh, self.axis,
+                capacity_per_shard,
+                stream and capacity_per_shard < STREAM_WIDE_MAX_LANES)
+            valid = np.asarray(valid) & (np.asarray(pids) < b)
+            return (combine64(np.asarray(lh), np.asarray(ll)),
+                    np.asarray(pids), valid, np.asarray(dropped))
         lo, hi = _ranges_sharded(
             self.index, patterns, lens, self.mesh, self.axis, steps, stream,
             self._facts(lens),
@@ -202,3 +242,55 @@ def _walk_sharded(idx, lo, hi, mesh, axis, capacity_per_shard, use_stream=False)
         return locs, pids, valid, dropped
 
     return run(idx, lo, hi)
+
+
+# ----------------------------------------------------------------------
+# wide (u64-position) pattern-DP: the replicated-index shard_map shape is
+# identical; per-shard search/walk run the two-lane engines (stream or
+# gather, ops/wide.py).  ShardedFmIndex routes here when meta.wide_pos.
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _wide_ranges_sharded(idx, patterns, lens, mesh, axis, steps,
+                         use_stream=False):
+    from ..ops import wide as wide_ops
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(axis),) * 4,
+    )
+    def run(idx, patterns, lens):
+        sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
+        return wide_ops.pos_ranges_wide(
+            idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
+            sym, lens, steps, stream_tbl=idx.stream_tbl,
+            seg_base=idx.seg_base, use_stream=use_stream)
+
+    return run(idx, patterns, lens)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _wide_resolve_sharded(idx, bounds, mesh, axis, capacity_per_shard,
+                          use_stream=False):
+    from ..ops import wide as wide_ops
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(),) + (P(axis),) * 4,
+        out_specs=(P(axis),) * 5,
+    )
+    def run(idx, lo_h, lo_l, hi_h, hi_l):
+        lh, ll, pids, valid, dropped = wide_ops.locate_rows_wide(
+            idx.meta, idx.fused, idx.count_arr, idx.sa, idx.sentinel,
+            lo_h, lo_l, hi_h, hi_l, capacity_per_shard,
+            stream_tbl=idx.stream_tbl, seg_base=idx.seg_base,
+            use_stream=use_stream)
+        shard = jax.lax.axis_index(axis).astype(jnp.int32)
+        pids = pids + shard * lo_h.shape[0]
+        return lh, ll, pids, valid, dropped
+
+    return run(idx, *bounds)

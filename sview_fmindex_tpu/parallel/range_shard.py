@@ -322,18 +322,17 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
                 pids = pids + jax.lax.axis_index(dp).astype(jnp.int32) \
                     * lo_h.shape[0]
             r = meta.sampling_ratio
-            k = r.bit_length() - 1
 
-            def needs_step(pl_, done):
-                return (pl_ & U32(r - 1) != 0) & ~done & valid
+            def needs_step(ph_, pl_, done):
+                return (W.p_divmod_const(ph_, pl_, r)[1] != 0) & ~done & valid
 
             def cond(carry):
                 ph, pl, off, lh, ll, done = carry
-                return jnp.any(needs_step(pl, done))
+                return jnp.any(needs_step(ph, pl, done))
 
             def body(carry):
                 ph, pl, off, lh, ll, done = carry
-                need = needs_step(pl, done)
+                need = needs_step(ph, pl, done)
                 qh = jnp.where(need, ph, U32(0))
                 ql = jnp.where(need, pl, U32(0))
                 sm1h, sm1l = W.p_sub(sentinel[0], sentinel[1], U32(0), U32(1))
@@ -357,7 +356,7 @@ def _rs_resolve_jit(meta, mesh_axis, tree, inputs, capacity):
             ph, pl, off, lh, ll, done = jax.lax.while_loop(
                 cond, body,
                 (rows_h, rows_l, zero, zero, zero, valid & False))
-            idx = (ph << U32(32 - k)) | (pl >> U32(k))
+            idx = W.p_divmod_const(ph, pl, r)[0]
             srow = _owned_gather(axis, sa, idx)  # [cap, 2] (hi, lo)
             sh, sl = W.p_add_u32(srow[..., 0], srow[..., 1], off)
             lh, ll = W.p_where(done, lh, ll, sh, sl)

@@ -54,10 +54,94 @@ def test_wide_engine_matches_oracle(n, pos_t):
             fm.locate(pats[i, : lens[i]].tobytes())), i
 
 
-def test_wide_requires_pow2_sampling():
-    _, fm = _build(500, "u64", seed=5, r=3)
-    with pytest.raises(fmx.BuildError, match="power-of-two"):
-        DeviceFmIndex.from_host(fm, force_wide=True)
+def test_wide_accepts_any_small_ratio():
+    """r=3 (non-power-of-two) now works on the wide path — the divmod is
+    p_divmod_const, not a lane shift (reference allows any ratio >= 2,
+    suffix_array_config.rs:4-33)."""
+    text, fm = _build(500, "u64", seed=5, r=3)
+    dev = DeviceFmIndex.from_host(fm, force_wide=True)
+    rng = np.random.default_rng(5)
+    starts = rng.integers(0, 490, size=24)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(8)]
+    c = combine64(*np.asarray(dev.count(pats)))
+    for i in range(24):
+        assert int(c[i]) == fm.count(pats[i].tobytes()), i
+    locs, pids, valid, dropped = dev.locate(pats)
+    assert int(np.asarray(dropped)[0]) == 0
+    lv = combine64(np.asarray(locs)[0], np.asarray(locs)[1])
+    by = {}
+    for l, p, v in zip(lv, np.asarray(pids), np.asarray(valid)):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(24):
+        assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes())), i
+
+
+def test_wide_ratio_out_of_envelope_rejected():
+    _, fm = _build(300, "u64", seed=6, r=2)
+
+    class _FakeR:
+        def __init__(self, fm, r):
+            self._fm, self._r = fm, r
+
+        def __getattr__(self, k):
+            if k == "sampling_ratio":
+                return self._r
+            return getattr(self._fm, k)
+
+    with pytest.raises(fmx.BuildError, match="2\\^15"):
+        DeviceFmIndex.from_host(_FakeR(fm, 1 << 16), force_wide=True)
+
+
+def test_p_divmod_const_matches_uint64():
+    """Property check of the two-lane constant divmod over its envelope
+    v < r * 2^32, r in 1..2^15 incl. non-powers of two."""
+    import jax.numpy as jnp
+    from sview_fmindex_tpu.ops.wide import p_divmod_const
+
+    rng = np.random.default_rng(123)
+    for r in (1, 2, 3, 5, 6, 7, 8, 12, 100, 1000, 32767, 32768):
+        hi_max = min(r, 1 << 15)
+        h = rng.integers(0, hi_max, size=256, dtype=np.uint32)
+        l = rng.integers(0, 1 << 32, size=256, dtype=np.uint64).astype(np.uint32)
+        # bias some lanes toward the wrap boundary
+        l[:32] = (np.uint32(0xFFFFFFFF) - rng.integers(
+            0, 2 ** 15, size=32, dtype=np.uint32))
+        q, m = p_divmod_const(jnp.asarray(h), jnp.asarray(l), r)
+        v = h.astype(np.uint64) << np.uint64(32) | l.astype(np.uint64)
+        ok = v < np.uint64(r) << np.uint64(32)
+        np.testing.assert_array_equal(np.asarray(q)[ok],
+                                      (v // r).astype(np.uint32)[ok], err_msg=str(r))
+        np.testing.assert_array_equal(np.asarray(m)[ok],
+                                      (v % r).astype(np.uint32)[ok], err_msg=str(r))
+
+
+def test_wide_stream_engine_matches_gather_and_oracle():
+    """The blkkey stream engine (sorted rank + segment bases) must be
+    bit-exact vs the wide gather engine and the host oracle."""
+    rng = np.random.default_rng(31)
+    text, fm = _build(4000, "u64", seed=31, r=2)
+    dev = DeviceFmIndex.from_host(fm, force_wide=True)
+    assert dev.meta.stream_rows > 0
+    assert dev.engine_for(64) == "wide-stream"
+    plen = 11
+    starts = rng.integers(0, 4000 - plen, size=80)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(plen)].copy()
+    pats[5] = np.frombuffer(b"G" * plen, np.uint8)  # likely absent
+    cs = combine64(*np.asarray(dev.count(pats, use_stream=True)))
+    cg = combine64(*np.asarray(dev.count(pats, use_stream=False)))
+    np.testing.assert_array_equal(cs, cg)
+    for i in range(80):
+        assert int(cs[i]) == fm.count(pats[i].tobytes()), i
+    locs, pids, valid, dropped = dev.locate(pats, use_stream=True)
+    assert int(np.asarray(dropped)[0]) == 0
+    lv = combine64(np.asarray(locs)[0], np.asarray(locs)[1])
+    by = {}
+    for l, p, v in zip(lv, np.asarray(pids), np.asarray(valid)):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(80):
+        assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes())), i
 
 
 @pytest.mark.parametrize("dp", [False, True])
@@ -129,3 +213,38 @@ def test_wide_envelope_rejects_fold_overflow():
         DeviceFmIndex.from_host(_FakeLen(fm, 2 ** 33), force_wide=True)
     with pytest.raises(fmx.BuildError, match="2\\^38|min.sampling_ratio"):
         DeviceFmIndex.from_host(_FakeLen(fm, 2 ** 38), force_wide=True)
+
+
+@pytest.mark.parametrize("stream", [True, False])
+def test_wide_pattern_dp_on_mesh(stream):
+    """Wide index replicated over the virtual mesh, pattern batches
+    sharded (pattern-DP): per-shard two-lane engines (stream and gather)
+    must merge to the host oracle's answers."""
+    import jax
+    from sview_fmindex_tpu.parallel.query import ShardedFmIndex
+    from sview_fmindex_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    rng = np.random.default_rng(41)
+    text, fm = _build(3000, "u64", seed=41)
+    dev = DeviceFmIndex.from_host(fm, force_wide=True)
+    sharded = ShardedFmIndex(dev, make_mesh())
+    plen = 10
+    B = 64
+    starts = rng.integers(0, 3000 - plen, size=B)
+    pats = np.frombuffer(text, np.uint8)[starts[:, None] + np.arange(plen)]
+    lens = np.full(B, plen, np.int32)
+    c = np.asarray(sharded.count(pats, lens, use_stream=stream))
+    assert c.dtype == np.uint64
+    for i in range(B):
+        assert int(c[i]) == fm.count(pats[i].tobytes()), i
+    locs, pids, valid, dropped = sharded.locate(pats, lens,
+                                                use_stream=stream)
+    assert int(np.asarray(dropped).sum()) == 0
+    by = {}
+    for l, p, v in zip(locs, pids, valid):
+        if v:
+            by.setdefault(int(p), []).append(int(l))
+    for i in range(B):
+        assert sorted(by.get(i, [])) == sorted(fm.locate(pats[i].tobytes())), i
