@@ -50,18 +50,23 @@ def rank_next_batch(fm, pos: np.ndarray, symidx: np.ndarray) -> np.ndarray:
     return ckpt + cnt
 
 
-def dense_lut(fm, dk: int, chunk: int = 1 << 24) -> tuple[np.ndarray, np.ndarray]:
+def dense_lut(fm, dk: int, chunk: int = 1 << 24,
+              wide: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """(lo, hi) uint32 [sigma**dk] — the backward-search range of every
     length-``dk`` symbol string, indexed big-endian (first symbol of the
     string is the most-significant base-sigma digit).  Chunked so peak
-    memory stays bounded at dk >= 13 (4**13 = 67M entries)."""
+    memory stays bounded at dk >= 13 (4**13 = 67M entries).
+
+    ``wide=True`` returns uint64 arrays (u64-position indexes: range
+    bounds can exceed 2^32; the internal math is int64 either way)."""
     sigma = fm.symbol_count
     k = fm.kmer_size
     if dk < k:
         raise ValueError(f"dense k {dk} must be >= blob k-mer size {k}")
     M = sigma**dk
-    out_lo = np.empty(M, dtype=np.uint32)
-    out_hi = np.empty(M, dtype=np.uint32)
+    dt = np.uint64 if wide else np.uint32
+    out_lo = np.empty(M, dtype=dt)
+    out_hi = np.empty(M, dtype=dt)
     count_array = fm.count_array.astype(np.int64)
     tbl = fm.kmer_count_table
     for c0 in range(0, M, chunk):
@@ -87,8 +92,8 @@ def dense_lut(fm, dk: int, chunk: int = 1 << 24) -> tuple[np.ndarray, np.ndarray
             nhi = pre + rank_next_batch(fm, hi, s)
             lo = np.where(active, nlo, lo)
             hi = np.where(active, nhi, hi)
-        out_lo[c0:c1] = lo.astype(np.uint32)
-        out_hi[c0:c1] = hi.astype(np.uint32)
+        out_lo[c0:c1] = lo.astype(dt)
+        out_hi[c0:c1] = hi.astype(dt)
     return out_lo, out_hi
 
 

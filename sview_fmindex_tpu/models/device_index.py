@@ -128,8 +128,12 @@ class DeviceFmIndex:
         wide = force_wide or fm.text_len >= 2**32
         if wide:
             # two-lane u32 position engine (ops/wide.py): blkkey stream
-            # engine + gather fallback; no dense seeds / pair / sa_full
-            return cls._from_host_wide(fm, device=device, stream=stream)
+            # engine + gather fallback; host-level dense seeds; no pair /
+            # sa_full
+            return cls._from_host_wide(
+                fm, device=device, stream=stream,
+                dense_host_entries=(dense_host_entries
+                                    if dense_lut_entries else 0))
         if len(fm.kmer_count_table) >= 2**31:
             raise BuildError("kmer table too large for int32 device indexing")
 
@@ -405,8 +409,9 @@ class DeviceFmIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def _from_host_wide(cls, fm, device=None,
-                        stream: bool = True) -> "DeviceFmIndex":
+    def _from_host_wide(cls, fm, device=None, stream: bool = True,
+                        dense_host_entries: int = 1 << 20
+                        ) -> "DeviceFmIndex":
         """Upload with two-lane u32 position values (texts >= 2^32).
 
         The reference's u64 ``Position`` (``text_length.rs:87-129``) on a
@@ -482,13 +487,20 @@ class DeviceFmIndex:
             enc_pairs = ()
 
         from ..ops import stream_join
+        from ..build.dense_lut import auto_dense_k, dense_lut
 
         use_stream_engine = stream and sigma <= 63
         stream_tile = IndexMeta.stream_tile
+        # dense seeds: HOST-built only (the on-device extension pass is a
+        # narrow-engine program); dk10 at DNA scale costs ~4 s host-side
+        # and cuts a 20 bp search from 17 LF passes to 10
+        dk = auto_dense_k(sigma, fm.kmer_size, dense_host_entries or 0,
+                          text_len=fm.text_len)
         meta = IndexMeta(
             sigma=sigma, kmer_size=fm.kmer_size, sampling_ratio=r,
             block_len=kind.block_len, num_planes=planes_eff,
             num_lanes=kind.num_lanes, wide_pos=True,
+            dense_k=dk,
             stream_rows=stream_join.stream_table_rows(
                 sigma, fm.text_len, stream_tile) if use_stream_engine else 0,
             stream_tile=stream_tile,
@@ -506,11 +518,17 @@ class DeviceFmIndex:
         else:
             stream_dev = put(np.zeros((8, stream_tile), np.int32))
             seg_base = put(np.zeros((2, 1), np.uint32))
+        if dk:
+            d_lo, d_hi = dense_lut(fm, dk, wide=True)
+            dlo_dev, dhi_dev = put2(d_lo), put2(d_hi)
+        else:
+            dlo_dev = put(np.zeros((2, 1), np.uint32))
+            dhi_dev = put(np.zeros((2, 1), np.uint32))
         return cls(
             fused=fused_dev,
             kmer_tbl=put2(fm.kmer_count_table),
-            dense_lo=put(np.zeros(1, np.uint32)),
-            dense_hi=put(np.zeros(1, np.uint32)),
+            dense_lo=dlo_dev,
+            dense_hi=dhi_dev,
             count_arr=put2(fm.count_array),
             sa=put2(fm.suffix_array),
             sentinel=put(split2(np.array([fm.sentinel_index]))[:, 0]),
@@ -618,7 +636,7 @@ class DeviceFmIndex:
         if self.meta.wide_pos:
             return _wide_counts_jit(
                 self, patterns, lens, steps,
-                self._stream_wide(patterns.shape[0], use_stream))
+                self._stream_wide(patterns.shape[0], use_stream), facts[1])
         lo, hi = _ranges_jit(self, patterns, lens, steps,
                              self._stream(patterns.shape[0], use_stream),
                              facts, use_pair)
@@ -631,7 +649,7 @@ class DeviceFmIndex:
         if self.meta.wide_pos:
             return _wide_ranges_jit(
                 self, patterns, lens, steps,
-                self._stream_wide(patterns.shape[0], use_stream))
+                self._stream_wide(patterns.shape[0], use_stream), facts[1])
         return _ranges_jit(self, patterns, lens, steps,
                            self._stream(patterns.shape[0], use_stream), facts)
 
@@ -653,7 +671,8 @@ class DeviceFmIndex:
             from ..ops import wide as wide_ops
 
             wstream = self._stream_wide(patterns.shape[0], use_stream)
-            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream)
+            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream,
+                                      facts[1])
             if capacity is None:
                 counts = wide_ops.combine64(*_pair_sub_jit(bounds))
                 capacity = locate_ops.expand_capacity(counts)
@@ -680,7 +699,8 @@ class DeviceFmIndex:
             from ..ops import wide as wide_ops
 
             wstream = self._stream_wide(patterns.shape[0], use_stream)
-            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream)
+            bounds = _wide_ranges_jit(self, patterns, lens, steps, wstream,
+                                      facts[1])
             counts = _wide_counts_from_bounds(bounds)
             if capacity is None:
                 capacity = locate_ops.expand_capacity(
@@ -728,16 +748,17 @@ def _as_batch(meta, patterns, lens):
     return patterns, jnp.asarray(lens_host), steps, (all_dense, fixed_len)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _wide_ranges_jit(idx: DeviceFmIndex, patterns, lens, steps: int,
-                     use_stream: bool = False):
+                     use_stream: bool = False, fixed_len: int | None = None):
     from ..ops import wide as wide_ops
 
     sym = search_ops.encode_patterns(idx.enc_table, patterns, idx.meta)
     return wide_ops.pos_ranges_wide(
         idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
         sym, lens, steps, stream_tbl=idx.stream_tbl, seg_base=idx.seg_base,
-        use_stream=use_stream)
+        use_stream=use_stream, dense_lo=idx.dense_lo, dense_hi=idx.dense_hi,
+        fixed_len=fixed_len)
 
 
 @jax.jit
@@ -748,9 +769,10 @@ def _wide_counts_from_bounds(bounds):
     return jnp.stack(wide_ops.p_sub(hi_h, hi_l, lo_h, lo_l))
 
 
-def _wide_counts_jit(idx, patterns, lens, steps, use_stream=False):
+def _wide_counts_jit(idx, patterns, lens, steps, use_stream=False,
+                     fixed_len=None):
     return _wide_counts_from_bounds(
-        _wide_ranges_jit(idx, patterns, lens, steps, use_stream))
+        _wide_ranges_jit(idx, patterns, lens, steps, use_stream, fixed_len))
 
 
 @jax.jit

@@ -284,9 +284,13 @@ def pre_rank_and_symidx_sorted_wide(meta, stream_tbl, seg_base, sent, ph, pl):
 # ---------------------------------------------------------------------------
 
 
-def initial_range_wide(meta, kmer_tbl, sym, lens):
+def initial_range_wide(meta, kmer_tbl, sym, lens, dense_lo=None,
+                       dense_hi=None):
     """k-mer LUT seeding with two-lane table values (count_array.rs:203-223
-    incl. the short-pattern subtree range)."""
+    incl. the short-pattern subtree range).  When the wide dense seed
+    tables are resident (``meta.dense_k``, uint32 [2, sigma**dk] lane
+    pairs), lanes of length >= dense_k seed their last dense_k symbols in
+    one gather — same memoization as the narrow engine."""
     k = meta.kmer_size
     base = meta.sigma + 1
     Lmax = sym.shape[-1]
@@ -303,25 +307,57 @@ def initial_range_wide(meta, kmer_tbl, sym, lens):
     hi_h = jnp.take(kmer_tbl[0], start + gap)
     hi_l = jnp.take(kmer_tbl[1], start + gap)
     rem_steps = jnp.maximum(lens - k, 0)
-    return lo_h, lo_l, hi_h, hi_l, rem_steps
+    seed_len = jnp.full_like(lens, k)
+    if meta.dense_k and dense_lo is not None:
+        dk = meta.dense_k
+        idx = jnp.zeros(sym.shape[:-1], dtype=jnp.int32)
+        for i in range(dk):
+            j = jnp.clip(lens - dk + i, 0, max(Lmax - 1, 0))
+            digit = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
+            idx = idx * meta.sigma + digit
+        use = lens >= dk
+        idx = jnp.where(use, idx, 0)
+        lo_h = jnp.where(use, jnp.take(dense_lo[0], idx), lo_h)
+        lo_l = jnp.where(use, jnp.take(dense_lo[1], idx), lo_l)
+        hi_h = jnp.where(use, jnp.take(dense_hi[0], idx), hi_h)
+        hi_l = jnp.where(use, jnp.take(dense_hi[1], idx), hi_l)
+        rem_steps = jnp.where(use, lens - dk, rem_steps)
+        seed_len = jnp.where(use, dk, seed_len)
+    return lo_h, lo_l, hi_h, hi_l, rem_steps, seed_len
 
 
 def pos_ranges_wide(meta, fused, kmer_tbl, count_arr, sent, sym, lens,
                     steps: int, stream_tbl=None, seg_base=None,
-                    use_stream: bool = False):
+                    use_stream: bool = False, dense_lo=None, dense_hi=None,
+                    fixed_len: int | None = None):
     """Backward search, two-lane bounds.  ``use_stream`` routes the
     per-step rank queries through the blkkey sort-join kernel (requires
-    the wide stream table + segment bases); gather engine otherwise."""
-    lo_h, lo_l, hi_h, hi_l, rem = initial_range_wide(meta, kmer_tbl, sym, lens)
+    the wide stream table + segment bases); gather engine otherwise.
+    Uniform-length stream batches take the sorted-chain path (one sort
+    per pass, ``_wide_ranges_chain``)."""
+    lo_h, lo_l, hi_h, hi_l, rem, seed_len = initial_range_wide(
+        meta, kmer_tbl, sym, lens, dense_lo, dense_hi)
     Lmax = sym.shape[-1]
     if steps == 0:
         return lo_h, lo_l, hi_h, hi_l
     B = lo_h.shape[0]
 
+    if use_stream and fixed_len is not None and steps >= 1:
+        w = max((meta.sigma - 1).bit_length(), 1)
+        seed = meta.dense_k if (meta.dense_k and dense_lo is not None
+                                and fixed_len >= meta.dense_k) \
+            else meta.kmer_size
+        # uniform seed + uniform length => every lane takes exactly
+        # ``steps`` LF steps; all codes must fit the packed payload
+        if fixed_len - seed == steps and (steps - 1) * w <= 30:
+            return _wide_ranges_chain(
+                meta, stream_tbl, seg_base, count_arr, sent,
+                lo_h, lo_l, hi_h, hi_l, sym, fixed_len, seed, steps, w)
+
     def body(t, carry):
         lo_h, lo_l, hi_h, hi_l = carry
         active = (t < rem) & p_lt(lo_h, lo_l, hi_h, hi_l)
-        j = jnp.clip(lens - meta.kmer_size - 1 - t, 0, Lmax - 1)
+        j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
         s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
         eh = jnp.stack([jnp.where(active, lo_h, U32(0)),
                         jnp.where(active, hi_h, U32(0))])
@@ -346,6 +382,88 @@ def pos_ranges_wide(meta, fused, kmer_tbl, count_arr, sent, sym, lens,
         return lo_h, lo_l, hi_h, hi_l
 
     return jax.lax.fori_loop(0, steps, body, (lo_h, lo_l, hi_h, hi_l))
+
+
+def _wide_ranges_chain(meta, stream_tbl, seg_base, count_arr, sent,
+                       lo_h, lo_l, hi_h, hi_l, sym, fixed_len: int,
+                       seed: int, steps: int, w: int):
+    """Wide backward search staying in SORTED order across stream passes
+    (the two-lane analog of ``ops.search._ranges_chain``): one sort per
+    pass + a final unsort instead of the sort+unsort pair per pass.
+
+    Positions are never carried across sorts — each pass recomputes them
+    from the kernel's segment-local rank + the 2-lane segment base, then
+    derives the next sort key (shifted u32 block id) and remainder.  The
+    per-pass symbols ride the payload: o1 = idx<<13 | rem<<6 | sym, o2
+    packs the future symbols at ``w`` bits each (w = ceil(log2 sigma), so
+    a DNA batch fits 16 steps).
+    """
+    from . import stream_join as sj
+
+    B = lo_h.shape[0]
+    sigma = meta.sigma
+    j0 = fixed_len - seed - 1
+    codes = [sym[:, j0 - t] for t in range(steps)]
+    c_all = [jnp.concatenate([c, c]).astype(jnp.int32) for c in codes]
+
+    T = meta.stream_tile
+    C = 1024
+    RW = sj._layout(sigma, T)[0]
+    n_tiles = meta.stream_rows // RW
+    N = sj._pad_len(2 * B, C)
+    pad = N - 2 * B
+    mask_w = (1 << w) - 1
+
+    ph = jnp.concatenate([lo_h, hi_h])
+    pl = jnp.concatenate([lo_l, hi_l])
+    shift = p_lt(ph, pl, sent[0], sent[1]).astype(U32)
+    ph_s, pl_s = p_add_u32(ph, pl, shift)
+    key = (ph_s << U32(25)) | (pl_s >> U32(7))
+    rem = (pl_s & U32(127)).astype(jnp.int32)
+    idx2 = jnp.arange(2 * B, dtype=jnp.int32)
+    o1 = (idx2 << 13) | (rem << 6) | c_all[0]
+    o2 = jnp.zeros(2 * B, jnp.int32)
+    for i, c in enumerate(c_all[1:]):
+        o2 = o2 | (c << (w * i))
+    if pad:
+        key = jnp.concatenate([key, jnp.full(pad, U32(n_tiles * T - 1))])
+        o1 = jnp.concatenate(
+            [o1, (jnp.arange(pad, dtype=jnp.int32) + 2 * B) << 13])
+        o2 = jnp.concatenate([o2, jnp.zeros(pad, jnp.int32)])
+
+    join = sj._join_fn(sigma, T, C, n_tiles, N // C, False,
+                       sj._use_interpret(), True)
+
+    def one_pass(carry):
+        """sort -> kernel -> new position; returns (next_key, next_o1,
+        next_o2, nh, nl) with nh/nl the UNSHIFTED new positions in the
+        pass's sorted order."""
+        key, o1, o2 = carry
+        ks, o1s, o2s = jax.lax.sort((key, o1, o2), num_keys=1)
+        local, _ = join(ks, o1s, stream_tbl)
+        symc = o1s & 63
+        seg = (ks >> U32(24)).astype(jnp.int32)
+        bh, bl = _seg_base_at(meta, seg_base, seg, symc)
+        rh, rl = p_add_u32(bh, bl, local)
+        pre_h = take_small(count_arr[0], symc, sigma + 1)
+        pre_l = take_small(count_arr[1], symc, sigma + 1)
+        nh, nl = p_add(pre_h, pre_l, rh, rl)
+        sh = p_lt(nh, nl, sent[0], sent[1]).astype(U32)
+        qh, ql = p_add_u32(nh, nl, sh)
+        nkey = (qh << U32(25)) | (ql >> U32(7))
+        nrem = (ql & U32(127)).astype(jnp.int32)
+        no1 = (o1s & ~jnp.int32(0x1FFF)) | (nrem << 6) | (o2s & mask_w)
+        no2 = o2s >> w
+        return nkey, no1, no2, nh, nl
+
+    carry = (key, o1, o2)
+    if steps > 1:
+        carry = jax.lax.fori_loop(
+            0, steps - 1, lambda t, c: one_pass(c)[:3], carry)
+    _, o1_f, _, nh, nl = one_pass(carry)
+    # final unsort by lane id; drop pads
+    _, out_h, out_l = jax.lax.sort((o1_f >> 13, nh, nl), num_keys=1)
+    return (out_h[:B], out_l[:B], out_h[B : 2 * B], out_l[B : 2 * B])
 
 
 # ---------------------------------------------------------------------------

@@ -266,7 +266,8 @@ def _wide_ranges_sharded(idx, patterns, lens, mesh, axis, steps,
         return wide_ops.pos_ranges_wide(
             idx.meta, idx.fused, idx.kmer_tbl, idx.count_arr, idx.sentinel,
             sym, lens, steps, stream_tbl=idx.stream_tbl,
-            seg_base=idx.seg_base, use_stream=use_stream)
+            seg_base=idx.seg_base, use_stream=use_stream,
+            dense_lo=idx.dense_lo, dense_hi=idx.dense_hi)
 
     return run(idx, patterns, lens)
 

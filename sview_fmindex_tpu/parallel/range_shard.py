@@ -232,13 +232,13 @@ def _rs_ranges_jit(meta, mesh_axis, tree, inputs, steps):
         if meta.wide_pos:
             from ..ops import wide as W
 
-            lo_h, lo_l, hi_h, hi_l, rem = W.initial_range_wide(
-                meta, kmer_tbl, sym, lens)
+            lo_h, lo_l, hi_h, hi_l, rem, seed_len = W.initial_range_wide(
+                meta, kmer_tbl, sym, lens, dense_lo, dense_hi)
 
             def wbody(t, carry):
                 lo_h, lo_l, hi_h, hi_l = carry
                 active = (t < rem) & W.p_lt(lo_h, lo_l, hi_h, hi_l)
-                j = jnp.clip(lens - meta.kmer_size - 1 - t, 0, Lmax - 1)
+                j = jnp.clip(lens - seed_len - 1 - t, 0, Lmax - 1)
                 s = jnp.take_along_axis(sym, j[..., None], axis=-1)[..., 0]
                 eh = jnp.stack([jnp.where(active, lo_h, U32(0)),
                                 jnp.where(active, hi_h, U32(0))])
