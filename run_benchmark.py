@@ -123,16 +123,21 @@ def run_cell(args) -> None:
 
     from sview_fmindex_tpu import BLOCK3_U64, FmIndex
 
+    phases = {}
     load_start = time.perf_counter_ns()
     if args.algorithm == "mmap":
         blob = np.memmap(blob_path(text_size), dtype=np.uint8, mode="r")
     else:
         blob = np.fromfile(blob_path(text_size), dtype=np.uint8)
+    phases["blob_read_ns"] = time.perf_counter_ns() - load_start
+    t_ph = time.perf_counter_ns()
     fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64, encoder_kind="table")
+    phases["view_load_ns"] = time.perf_counter_ns() - t_ph
     if args.algorithm in ("device", "device-warm", "memory"):
         from sview_fmindex_tpu.bench.timing import force
         from sview_fmindex_tpu.ops.locate import expand_capacity
 
+        t_ph = time.perf_counter_ns()
         if args.algorithm.startswith("device"):
             # same config as bench.py: minimal-transfer upload, stream +
             # pair tables and the full SA derived on device
@@ -144,15 +149,24 @@ def run_cell(args) -> None:
         else:
             # CPU-backend in-memory path: gather engine only — skip the
             # stream/pair device-table builds (minutes of host work that
-            # the engine would never read)
+            # the engine would never read) and cap the dense seed table
+            # at the HOST level (the on-CPU device-extension pass costs
+            # far more than the LF steps it would save a one-shot batch);
+            # the .npz cache makes later runs read it like a blob section
             dev = fm.to_device(stream=False, pair=False,
+                               dense_lut_entries=1 << 20,
+                               dense_lut_cache=os.path.join(
+                                   CACHE_DIR, "dense_cpu_memory.npz"),
                                derived_cache_dir=CACHE_DIR)
+        phases["upload_ns"] = time.perf_counter_ns() - t_ph
         # warm the REAL batch shapes so load_ns covers runtime init +
         # upload + executable compiles (the analog of blob load)
         use_stream = args.algorithm.startswith("device")
+        t_ph = time.perf_counter_ns()
         counts_w = np.asarray(dev.count(pats, use_stream=use_stream))
         cap = expand_capacity(counts_w)
         force(dev.locate_with_counts(pats, capacity=cap, use_stream=use_stream))
+        phases["warm_ns"] = time.perf_counter_ns() - t_ph
         load_ns = time.perf_counter_ns() - load_start
         q_start = time.perf_counter_ns()
         counts = np.asarray(dev.count(pats, use_stream=use_stream))
@@ -197,7 +211,8 @@ def run_cell(args) -> None:
         total_ns = time.perf_counter_ns() - t_all
     rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     cell = {"total_ns": total_ns, "load_ns": load_ns,
-            "query_ns": query_ns, "max_rss_kb": rss_kb}
+            "query_ns": query_ns, "max_rss_kb": rss_kb,
+            "phases": phases}
     if amortized:
         # device-warm total_ns is a PER-BATCH amortized latency, not a
         # cold-start wall time — mark it so downstream tooling comparing
@@ -257,10 +272,14 @@ def main(argv=None) -> None:
                 load_pct = 100 * cell["load_ns"] // max(cell["total_ns"], 1)
                 rows.append((count, cold, algo, cell["total_ns"], load_pct,
                              cell["max_rss_kb"]))
+                ph = cell.get("phases") or {}
+                ph_s = " ".join(f"{k[:-3]}={v/1e9:.2f}s"
+                                for k, v in ph.items())
                 log(f"[sweep] {count:>7} cold={cold:<5} {algo:<7} "
                     f"total={cell['total_ns']/1e9:8.2f}s load={load_pct:2d}% "
                     f"rss={cell['max_rss_kb']/1024:7.0f}MB "
-                    f"(wall {time.time()-t0:.0f}s, dropped_caches={dropped})")
+                    f"(wall {time.time()-t0:.0f}s, dropped_caches={dropped}"
+                    + (f"; {ph_s}" if ph_s else "") + ")")
 
     with open(args.out, "w") as f:
         f.write("pattern_count,cold_ratio,algorithm,total_ns,load_percent,max_rss_kb\n")

@@ -28,6 +28,82 @@ from ..ops import locate as locate_ops
 from ..ops import search as search_ops
 
 
+
+def _enc_static(fm):
+    """(enc_table int32 [256], identity, default, pairs) — the encoder's
+    static content for compare-select encoding (see IndexMeta)."""
+    if isinstance(fm.encoder, EncodingTable):
+        enc_table = fm.encoder.table.astype(np.int32)
+        enc_default = int(np.bincount(enc_table, minlength=1).argmax())
+        enc_pairs = tuple(
+            (int(v), int(enc_table[v]))
+            for v in range(256) if enc_table[v] != enc_default)
+        return enc_table, False, enc_default, enc_pairs
+    return np.arange(256, dtype=np.int32), True, 0, ()
+
+
+def planes_effective(fm) -> int:
+    """ceil(log2 sigma) device planes (upper blob planes are all-zero for
+    symbols < 2**p) — the plane-reduction rule shared by every upload."""
+    return min(fm.block.num_planes, max(1, (fm.symbol_count - 1).bit_length()))
+
+
+def narrow_fused_rows(fm, planes_eff: int, b0: int, b1: int) -> np.ndarray:
+    """Fused gather-table rows for blocks [b0, b1) — buildable per SLICE so
+    range-sharded staging never materializes the full table (host peak ~=
+    one shard)."""
+    sigma = fm.symbol_count
+    width = sigma + planes_eff * fm.block.num_lanes
+    out = np.empty((b1 - b0, width), dtype=np.uint32)
+    out[:, :sigma] = fm.rank_checkpoints[b0:b1].astype(np.uint32)
+    out[:, sigma:] = np.ascontiguousarray(
+        fm.lanes[b0:b1, :planes_eff, :]).reshape(b1 - b0, -1)
+    return out
+
+
+def wide_fused_rows(fm, planes_eff: int, b0: int, b1: int) -> np.ndarray:
+    """Wide fused rows (hi ckpts | lo ckpts | plane lanes) for a block
+    slice."""
+    sigma = fm.symbol_count
+    width = 2 * sigma + planes_eff * fm.block.num_lanes
+    out = np.empty((b1 - b0, width), dtype=np.uint32)
+    ck = fm.rank_checkpoints[b0:b1].astype(np.uint64)
+    out[:, :sigma] = (ck >> np.uint64(32)).astype(np.uint32)
+    out[:, sigma : 2 * sigma] = (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 2 * sigma :] = np.ascontiguousarray(
+        fm.lanes[b0:b1, :planes_eff, :]).reshape(b1 - b0, -1)
+    return out
+
+
+def split2(a) -> np.ndarray:
+    """uint64-ish values -> uint32 [2, ...] (hi, lo) lane pair."""
+    a = np.asarray(a, dtype=np.uint64)
+    return np.stack([(a >> np.uint64(32)).astype(np.uint32),
+                     (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+
+
+def validate_wide(fm) -> None:
+    """The wide-path envelope checks (shared by single-device upload and
+    range-shard staging)."""
+    kind = fm.block
+    if fm.text_len >= 2**38:
+        raise BuildError("wide device path requires text_len < 2^38 "
+                         "(block indices must fit uint32)")
+    if len(fm.kmer_count_table) >= 2**31:
+        raise BuildError("kmer table too large for int32 device indexing")
+    r = fm.sampling_ratio
+    if r < 1 or r > (1 << 15):
+        raise BuildError(
+            "wide device path requires 1 <= sampling_ratio <= 2^15 "
+            "(p_divmod_const envelope)")
+    bound = min(r, kind.block_len) << 32
+    if fm.text_len >= bound:
+        raise BuildError(
+            f"wide device path requires text_len < min(sampling_ratio,"
+            f" block_len) * 2^32 = {bound} (the SA and block index "
+            f"folds are uint32); got text_len {fm.text_len}")
+
+
 @dataclasses.dataclass(frozen=True)
 class IndexMeta:
     """Static (hashable) shape parameters; the jit specialization key."""
@@ -318,7 +394,7 @@ class DeviceFmIndex:
         # dense extension) occupy the chip — previously each upload was
         # issued right before its consumer and the cold path was strictly
         # serial (VERDICT r4 #4).
-        kmer_dev = put(fm.kmer_count_table.astype(np.uint32))
+        kmer_dev = put(fm.kmer_count_table.astype(np.uint32, copy=False))
         enc_dev = put(enc_table)
         dlo_dev, dhi_dev = put(d_lo), put(d_hi)
         sa_up = sa_dev = None
@@ -329,7 +405,10 @@ class DeviceFmIndex:
         elif sa_full is not None:
             sa_dev = put(sa_full.astype(np.uint32, copy=False))
         else:
-            sa_dev = put(fm.suffix_array.astype(np.uint32))
+            # copy=False: for u32-position blobs the view is already
+            # uint32 — the default astype copy costs ~2 GB of RAM traffic
+            # in the CPU-backend one-shot path for nothing
+            sa_dev = put(fm.suffix_array.astype(np.uint32, copy=False))
 
         if use_stream_engine:
             if stream_derive:

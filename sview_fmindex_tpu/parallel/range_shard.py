@@ -87,48 +87,113 @@ class RangeShardedFmIndex:
                 (self.mesh.axis_names, axis, dp_axis)
         D = self.mesh.shape[axis] if dp_axis is not None else self.mesh.devices.size
 
-        # host-side assembly via the single-device path (staged on the CPU
-        # backend when available so nothing lands on a real chip twice)
-        import jax as _jax
+        # PER-SHARD staging: each device's table slice is built host-side
+        # on demand (make_array_from_callback) straight from the blob's
+        # zero-copy views — the full fused table / SA is NEVER
+        # materialized on host or on any single device (the old path
+        # routed the whole index through a single-device DeviceFmIndex
+        # then re-device_put it, which at >HBM scale would OOM a chip —
+        # the exact case this layer exists for).
+        from ..build.dense_lut import auto_dense_k, dense_lut
+        from ..models import device_index as DI
 
-        try:
-            cpu = _jax.local_devices(backend="cpu")[0]
-        except Exception:
-            cpu = None
-        from ..models.device_index import DeviceFmIndex
+        wide = force_wide or fm.text_len >= 2**32
+        if wide:
+            DI.validate_wide(fm)
+            assert sa_full is None, "sa_full is a narrow-path option"
+        sigma = fm.symbol_count
+        kind = fm.block
+        planes_eff = DI.planes_effective(fm)
+        enc_table, enc_identity, enc_default, enc_pairs = DI._enc_static(fm)
+        dk = auto_dense_k(sigma, fm.kmer_size, 1 << 20,
+                          text_len=fm.text_len)
+        if isinstance(sa_full, str):
+            sa_full = np.memmap(sa_full, dtype="<u4", mode="r")
+        self.meta = DI.IndexMeta(
+            sigma=sigma, kmer_size=fm.kmer_size,
+            sampling_ratio=fm.sampling_ratio, block_len=kind.block_len,
+            num_planes=planes_eff, num_lanes=kind.num_lanes, dense_k=dk,
+            wide_pos=wide, enc_identity=enc_identity, enc_pairs=enc_pairs,
+            enc_default=enc_default, has_sa_full=sa_full is not None)
 
-        local = DeviceFmIndex.from_host(fm, device=cpu, stream=False,
-                                        sa_full=sa_full,
-                                        force_wide=force_wide)
-        self.meta = local.meta
+        nb = fm.rank_checkpoints.shape[0]
+        nb_pad = -(-nb // D) * D
+        width = (2 * sigma if wide else sigma) + planes_eff * kind.num_lanes
+        rows_fn = DI.wide_fused_rows if wide else DI.narrow_fused_rows
 
-        def pad_to(x, mult):
-            n = x.shape[0]
-            pad = (-n) % mult
-            if pad:
-                x = np.concatenate([np.asarray(x),
-                                    np.zeros((pad, *x.shape[1:]), x.dtype)])
-            return np.asarray(x)
+        def _bounds(sl, limit):
+            a0 = sl.start if sl.start is not None else 0
+            a1 = sl.stop if sl.stop is not None else limit
+            return a0, a1
 
-        fused = pad_to(np.asarray(local.fused), D)
-        if self.meta.wide_pos:
-            # wide SA is [2, m] lane-major; shard it row-major [m, 2] so
-            # _owned_gather's dim-0 ownership math applies unchanged
-            sa = pad_to(np.ascontiguousarray(np.asarray(local.sa).T), D)
-        else:
-            sa = pad_to(np.asarray(local.sa), D)
-        shard_spec = NamedSharding(self.mesh, P(axis, *([None] * (fused.ndim - 1))))
-        sa_spec = NamedSharding(self.mesh, P(axis))
+        def fused_cb(idx):
+            b0, b1 = _bounds(idx[0], nb_pad)
+            hi = min(b1, nb)
+            chunk = (rows_fn(fm, planes_eff, b0, hi) if hi > b0
+                     else np.zeros((0, width), np.uint32))
+            if b1 > hi:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b1 - hi, width), np.uint32)])
+            return chunk
+
+        shard_spec = NamedSharding(self.mesh, P(axis, None))
         repl = NamedSharding(self.mesh, P())
+        self.fused = jax.make_array_from_callback(
+            (nb_pad, width), shard_spec, fused_cb)
+
+        sa_src = sa_full if sa_full is not None else fm.suffix_array
+        m = sa_src.shape[0]
+        m_pad = -(-m // D) * D
+        if wide:
+            # wide SA shards row-major [m, 2] (hi, lo) so _owned_gather's
+            # dim-0 ownership math applies unchanged
+            def sa_cb(idx):
+                a0, a1 = _bounds(idx[0], m_pad)
+                hi = min(a1, m)
+                out = np.zeros((a1 - a0, 2), np.uint32)
+                piece = np.asarray(sa_src[a0:hi], dtype=np.uint64)
+                out[: hi - a0, 0] = (piece >> np.uint64(32)).astype(np.uint32)
+                out[: hi - a0, 1] = (piece & np.uint64(0xFFFFFFFF)).astype(
+                    np.uint32)
+                return out
+
+            self.sa = jax.make_array_from_callback(
+                (m_pad, 2), shard_spec, sa_cb)
+        else:
+            def sa_cb(idx):
+                a0, a1 = _bounds(idx[0], m_pad)
+                hi = min(a1, m)
+                out = np.zeros(a1 - a0, np.uint32)
+                out[: hi - a0] = np.asarray(sa_src[a0:hi]).astype(
+                    np.uint32, copy=False)
+                return out
+
+            self.sa = jax.make_array_from_callback(
+                (m_pad,), NamedSharding(self.mesh, P(axis)), sa_cb)
+
         put = jax.device_put
-        self.fused = put(fused, shard_spec)
-        self.sa = put(sa, sa_spec)
-        self.kmer_tbl = put(np.asarray(local.kmer_tbl), repl)
-        self.dense_lo = put(np.asarray(local.dense_lo), repl)
-        self.dense_hi = put(np.asarray(local.dense_hi), repl)
-        self.count_arr = put(np.asarray(local.count_arr), repl)
-        self.sentinel = put(np.asarray(local.sentinel), repl)
-        self.enc_table = put(np.asarray(local.enc_table), repl)
+        if wide:
+            self.kmer_tbl = put(DI.split2(fm.kmer_count_table), repl)
+            self.count_arr = put(DI.split2(fm.count_array), repl)
+            self.sentinel = put(
+                DI.split2(np.array([fm.sentinel_index]))[:, 0], repl)
+            if dk:
+                d_lo, d_hi = dense_lut(fm, dk, wide=True)
+                d_lo, d_hi = DI.split2(d_lo), DI.split2(d_hi)
+            else:
+                d_lo = d_hi = np.zeros((2, 1), np.uint32)
+        else:
+            self.kmer_tbl = put(
+                fm.kmer_count_table.astype(np.uint32, copy=False), repl)
+            self.count_arr = put(fm.count_array.astype(np.uint32), repl)
+            self.sentinel = put(np.uint32(fm.sentinel_index), repl)
+            if dk:
+                d_lo, d_hi = dense_lut(fm, dk)
+            else:
+                d_lo = d_hi = np.zeros(1, np.uint32)
+        self.dense_lo = put(d_lo, repl)
+        self.dense_hi = put(d_hi, repl)
+        self.enc_table = put(enc_table, repl)
 
     @property
     def n_devices(self) -> int:

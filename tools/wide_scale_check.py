@@ -60,12 +60,18 @@ def main() -> None:
     load_s = time.time() - t0
     print(f"[wide] blob mapped in {load_s:.1f}s; n={n}", flush=True)
 
+    import resource
+
     devices = jax.devices()
+    rss_before_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.time()
     rs = RangeShardedFmIndex(fm, mesh=make_mesh(axis="rs"))
     assert rs.meta.wide_pos
     shard_s = time.time() - t0
-    print(f"[wide] sharded over {len(devices)} devices in {shard_s:.1f}s",
+    rss_after_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(f"[wide] sharded over {len(devices)} devices in {shard_s:.1f}s "
+          f"(peak RSS {rss_before_kb/2**20:.1f} -> {rss_after_kb/2**20:.1f}"
+          " GiB; per-shard staging never materializes the full table)",
           flush=True)
 
     rng = np.random.default_rng(args.seed)
@@ -118,6 +124,8 @@ def main() -> None:
         "mismatches": mismatches,
         "ok": mismatches == 0 and hi_hits > 0,
         "shard_s": round(shard_s, 1),
+        "shard_rss_before_kb": rss_before_kb,
+        "shard_rss_after_kb": rss_after_kb,
         "query_s": round(query_s, 1),
         "oracle_s": round(oracle_s, 1),
     }
