@@ -223,6 +223,66 @@ def run_cell(args) -> None:
 
 
 # ---------------------------------------------------------------------------
+# resident-server grid: ONE upload serves every cell (the serving shape —
+# a resident server amortizes load by definition, so running the 9-cell
+# reference grid in one process is the honest device-warm measurement and
+# 9x cheaper than a fresh upload per cell)
+# ---------------------------------------------------------------------------
+
+def run_serve_grid(args) -> list:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE_DIR, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from sview_fmindex_tpu import BLOCK3_U64, FmIndex
+    from sview_fmindex_tpu.ops.locate import expand_capacity
+
+    text_size = int(float(args.text_size))
+    blob = np.memmap(blob_path(text_size), dtype=np.uint8, mode="r")
+    fm = FmIndex.load(blob, position="u32", block=BLOCK3_U64,
+                      encoder_kind="table")
+    t0 = time.time()
+    dev = fm.to_device(dense_lut_entries=1 << 28, dense_host_entries=1 << 20,
+                       sa_full="device", sa_fill_ratio=4,
+                       derived_cache_dir=CACHE_DIR)
+    log(f"[serve-grid] upload {time.time()-t0:.1f}s; serving cells")
+
+    counts_list = [int(float(p))
+                   for p in (args.patterns or "10,1000,100000").split(",")]
+    colds = [float(c) for c in (args.colds or "0.01,0.1,1.0").split(",")]
+    S = 8
+    rows = []
+    out_path = os.path.join(CACHE_DIR, "results_device-warm.txt")
+    for count in counts_list:
+        for cold in colds:
+            pats = gen_patterns(text_size, count, cold, SEED + 1)
+            counts_w = np.asarray(dev.count(pats))
+            cap = expand_capacity(counts_w)
+            # warm this exact shape, then serve S timed batches
+            # (query + result write, amortized per batch)
+            locs, pids, valid, _, dropped = dev.locate_with_counts(
+                pats, capacity=cap)
+            np.asarray(locs)
+            t0 = time.perf_counter_ns()
+            for _ in range(S):
+                locs, pids, valid, _, dropped = dev.locate_with_counts(
+                    pats, capacity=cap)
+                locs, pids, valid = map(np.asarray, (locs, pids, valid))
+                assert int(np.asarray(dropped)[0]) == 0
+                with open(out_path, "w") as f:
+                    order = np.argsort(pids[valid], kind="stable")
+                    f.write("\n".join(map(str, locs[valid][order])))
+            per_batch_ns = (time.perf_counter_ns() - t0) // S
+            rows.append((count, cold, "device-warm", per_batch_ns, 0, 0))
+            log(f"[serve-grid] {count:>7} cold={cold:<5} "
+                f"{per_batch_ns/1e6:8.1f} ms/batch amortized "
+                f"({count/(per_batch_ns/1e9)/1e6:.3f} Mq/s)")
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # sweep driver
 # ---------------------------------------------------------------------------
 
@@ -238,10 +298,38 @@ def main(argv=None) -> None:
     ap.add_argument("--cell", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cold", default="1.0", help=argparse.SUPPRESS)
     ap.add_argument("--algorithm", default="memory", help=argparse.SUPPRESS)
+    ap.add_argument("--serve-grid", action="store_true",
+                    help="resident-server mode: one upload serves the full "
+                         "patterns x colds grid; rows are amortized "
+                         "per-batch latencies (device-warm)")
+    ap.add_argument("--merge-into", default=None,
+                    help="merge produced rows into this existing CSV "
+                         "(replacing same-algorithm rows) instead of "
+                         "overwriting --out")
     args = ap.parse_args(argv)
 
     if args.cell:
         run_cell(args)
+        return
+
+    if args.serve_grid:
+        rows = run_serve_grid(args)
+        target = args.merge_into or args.out
+        kept = []
+        if args.merge_into and os.path.exists(target):
+            with open(target) as f:
+                header = f.readline()
+                for line in f:
+                    if line.split(",")[2] != "device-warm":
+                        kept.append(line.rstrip("\n"))
+        with open(target, "w") as f:
+            f.write("pattern_count,cold_ratio,algorithm,total_ns,"
+                    "load_percent,max_rss_kb\n")
+            for line in kept:
+                f.write(line + "\n")
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+        log(f"[serve-grid] wrote {len(rows)} device-warm rows to {target}")
         return
 
     text_size = int(float(args.text_size))

@@ -78,7 +78,8 @@ class RangeShardedFmIndex:
     def __init__(self, fm, mesh=None, axis: str = RS_AXIS,
                  dp_axis: str | None = None,
                  sa_full: "np.ndarray | str | None" = None,
-                 force_wide: bool = False):
+                 force_wide: bool = False,
+                 dense_entries: int = 1 << 20):
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
         self.dp_axis = dp_axis
@@ -105,7 +106,11 @@ class RangeShardedFmIndex:
         kind = fm.block
         planes_eff = DI.planes_effective(fm)
         enc_table, enc_identity, enc_default, enc_pairs = DI._enc_static(fm)
-        dk = auto_dense_k(sigma, fm.kmer_size, 1 << 20,
+        # dense seeds are a host pass of random rank gathers over the
+        # blob views — minutes of mmap page-faults at multi-Gbp scale;
+        # ``dense_entries=0`` skips it when staging time matters more
+        # than per-query LF steps (e.g. acceptance checks)
+        dk = auto_dense_k(sigma, fm.kmer_size, dense_entries or 0,
                           text_len=fm.text_len)
         if isinstance(sa_full, str):
             sa_full = np.memmap(sa_full, dtype="<u4", mode="r")
