@@ -304,8 +304,13 @@ def main(argv=None) -> None:
                          "per-batch latencies (device-warm)")
     ap.add_argument("--merge-into", default=None,
                     help="merge produced rows into this existing CSV "
-                         "(replacing same-algorithm rows) instead of "
-                         "overwriting --out")
+                         "(serve-grid: replacing device-warm rows; sweep: "
+                         "replacing matching (count,cold,algo) rows) instead "
+                         "of overwriting --out")
+    ap.add_argument("--phases-out", default=None,
+                    help="also write the per-cell JSON (incl. phase "
+                         "breakdowns: blob read / view load / upload / warm) "
+                         "to this path")
     args = ap.parse_args(argv)
 
     if args.cell:
@@ -341,6 +346,7 @@ def main(argv=None) -> None:
     ensure_inputs(text_size)
 
     rows = []
+    cells = []
     for count in patterns:
         for cold in colds:
             for algo in algorithms:
@@ -360,6 +366,8 @@ def main(argv=None) -> None:
                 load_pct = 100 * cell["load_ns"] // max(cell["total_ns"], 1)
                 rows.append((count, cold, algo, cell["total_ns"], load_pct,
                              cell["max_rss_kb"]))
+                cells.append({"pattern_count": count, "cold_ratio": cold,
+                              "algorithm": algo, **cell})
                 ph = cell.get("phases") or {}
                 ph_s = " ".join(f"{k[:-3]}={v/1e9:.2f}s"
                                 for k, v in ph.items())
@@ -369,11 +377,27 @@ def main(argv=None) -> None:
                     f"(wall {time.time()-t0:.0f}s, dropped_caches={dropped}"
                     + (f"; {ph_s}" if ph_s else "") + ")")
 
-    with open(args.out, "w") as f:
+    target = args.merge_into or args.out
+    kept = []
+    fresh = {(r[0], r[1], r[2]) for r in rows}
+    if args.merge_into and os.path.exists(target):
+        with open(target) as f:
+            f.readline()
+            for line in f:
+                c, cr, algo = line.split(",")[:3]
+                if (int(c), float(cr), algo) not in fresh:
+                    kept.append(line.rstrip("\n"))
+    with open(target, "w") as f:
         f.write("pattern_count,cold_ratio,algorithm,total_ns,load_percent,max_rss_kb\n")
+        for line in kept:
+            f.write(line + "\n")
         for r in rows:
             f.write(",".join(map(str, r)) + "\n")
-    log(f"[sweep] wrote {args.out} ({len(rows)} rows)")
+    log(f"[sweep] wrote {target} ({len(rows)} fresh rows, {len(kept)} kept)")
+    if args.phases_out:
+        with open(args.phases_out, "w") as f:
+            json.dump(cells, f, indent=1)
+        log(f"[sweep] wrote per-cell phase breakdowns to {args.phases_out}")
 
 
 if __name__ == "__main__":
