@@ -60,19 +60,21 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def get_text() -> bytes:
+def get_text() -> np.ndarray:
+    """uint8 [TEXT_SIZE] — memmapped on cache hit: only the pattern windows
+    and the 200 re-verified locations ever page in, vs ~10 s for a full
+    1 GB read+copy on the cold path."""
     path = os.path.join(CACHE_DIR, f"text_{TEXT_SIZE}_{SEED}.bin")
-    if os.path.exists(path):
-        return np.fromfile(path, dtype=np.uint8).tobytes()
-    rng = np.random.default_rng(SEED)
-    # bit-identical to rng.choice(ACGT, size=...) but ~2x faster at Gbp scale
-    text = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, size=TEXT_SIZE)]
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    text.tofile(path)
-    return text.tobytes()
+    if not os.path.exists(path):
+        rng = np.random.default_rng(SEED)
+        # bit-identical to rng.choice(ACGT, size=...), ~2x faster at Gbp scale
+        text = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, size=TEXT_SIZE)]
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        text.tofile(path)
+    return np.memmap(path, dtype=np.uint8, mode="r")
 
 
-def get_blob(text: bytes):
+def get_blob(text: np.ndarray):
     from sview_fmindex_tpu import (
         BLOCK3_U64,
         EncodingTable,
@@ -152,7 +154,7 @@ def main() -> None:
         f"{upload_s:.2f}s")
 
     rng = np.random.default_rng(SEED + 1)
-    text_arr = np.frombuffer(text, np.uint8)
+    text_arr = text
 
     def make_batch(B):
         starts = rng.integers(0, TEXT_SIZE - PATTERN_LEN, size=B)

@@ -165,6 +165,7 @@ class DeviceFmIndex:
                   sa_full: "np.ndarray | str | None" = None,
                   pair: bool = True, pair_gather: bool = False,
                   force_wide: bool = False,
+                  ckpt_derive: "bool | str" = "auto",
                   derived_cache_dir: str | None = None) -> "DeviceFmIndex":
         """Upload a host ``FmIndex`` (the blob's zero-copy views) to device.
 
@@ -199,6 +200,13 @@ class DeviceFmIndex:
         (unpackbits/packbits over GBs at Gbp scale).  Cache keys embed a
         content digest of the blob's SA/count sections — a cache from a
         different text can never be served.
+
+        ``ckpt_derive``: upload only the bit-plane columns and derive the
+        checkpoint columns ON DEVICE (``ops.rank.derive_fused_device`` —
+        popcount + exclusive cumsum, bit-identical, tested).  Halves the
+        fused upload bytes through the tunnel.  ``"auto"`` (default)
+        enables it on the TPU backend only (on CPU the "upload" is a
+        memcpy, so the host assembly path is cheaper).
         """
         kind = fm.block
         wide = force_wide or fm.text_len >= 2**32
@@ -291,7 +299,8 @@ class DeviceFmIndex:
                 fm.lanes[:, :planes_eff, :]).reshape(n_blocks, -1)
             return fused
 
-        fused = _cached(f"fused{planes_eff}", _build_fused)
+        if ckpt_derive == "auto":
+            ckpt_derive = jax.default_backend() == "tpu"
 
         # int32, not uint8: gathers from sub-word tables hang the TPU
         # compiler (axon); a 1 KiB table costs nothing widened.
@@ -384,7 +393,17 @@ class DeviceFmIndex:
                   file=sys.stderr, flush=True)
             t_tr[0] = now
 
-        fused_dev = put(fused)
+        if ckpt_derive:
+            # upload ONLY the plane columns (half the fused bytes through
+            # the tunnel); the checkpoint columns are derived on device
+            from ..ops.rank import derive_fused_device
+
+            planes_host = np.ascontiguousarray(
+                fm.lanes[:, :planes_eff, :]).reshape(n_blocks, -1)
+            fused_dev = derive_fused_device(meta, put(planes_host),
+                                            fm.text_len)
+        else:
+            fused_dev = put(_cached(f"fused{planes_eff}", _build_fused))
         count_dev = put(fm.count_array.astype(np.uint32))
         sent_dev = put(np.uint32(fm.sentinel_index))
         _tr("fused+small put", fused_dev, count_dev)

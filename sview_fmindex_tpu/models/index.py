@@ -150,7 +150,7 @@ class FmIndex:
                   dense_host_entries: int = 1 << 20, sa_full=None,
                   stream: bool = True, stream_tile: int | None = None,
                   stream_derive: bool = True, sa_fill_ratio: int = 4,
-                  pair: bool = True,
+                  pair: bool = True, ckpt_derive: "bool | str" = "auto",
                   derived_cache_dir: str | None = None):
         """Upload to a :class:`DeviceFmIndex` for batched TPU queries.
 
@@ -168,7 +168,8 @@ class FmIndex:
             dense_host_entries=dense_host_entries, sa_full=sa_full,
             stream=stream, stream_tile=stream_tile,
             stream_derive=stream_derive, sa_fill_ratio=sa_fill_ratio,
-            pair=pair, derived_cache_dir=derived_cache_dir,
+            pair=pair, ckpt_derive=ckpt_derive,
+            derived_cache_dir=derived_cache_dir,
         )
 
     # ------------------------------------------------------------------

@@ -18,6 +18,8 @@ Semantics reproduced exactly:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +68,49 @@ def _combine_planes(meta, planes: jax.Array, symidx: jax.Array) -> jax.Array:
     for j in range(1, meta.num_planes):
         out = out & sel[..., j, :]
     return out
+
+
+def derive_fused_device(meta, planes: jax.Array, text_len: int) -> jax.Array:
+    """Device-derive the full fused rank table from the plane columns alone.
+
+    ``planes``: uint32 ``[n_blocks, num_planes*num_lanes]`` — exactly the
+    fused table's plane columns (``fused[:, sigma:]``).  Returns the fused
+    table ``[n_blocks, sigma + num_planes*num_lanes]`` with
+    ``checkpoint[b, s]`` = count of symbol s in the BWT before block b
+    (``bwm/mod.rs:126-134``) computed as an exclusive cumsum of per-block
+    popcounts; the final partial block's MSB-first zero padding
+    (``bwm/mod.rs:97-104``) is masked out so it cannot count as symbol 0.
+
+    Cold-start motivation: only the planes cross the ~3-40 MB/s
+    host->device tunnel (half the fused bytes); the checkpoint columns are
+    ~1 s of VPU popcount + cumsum.  Bit-identical to the host-assembled
+    fused table (tested).
+    """
+    return _derive_fused_jit(meta, planes, int(text_len))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _derive_fused_jit(meta, planes, text_len: int):
+    n_blocks = planes.shape[0]
+    pl = planes.reshape(n_blocks, meta.num_planes, meta.num_lanes)
+    start = jnp.arange(n_blocks, dtype=U32) * U32(meta.block_len)
+    n_u = U32(text_len)
+    valid = jnp.where(start >= n_u, U32(0),
+                      jnp.minimum(n_u - start, U32(meta.block_len)))
+    lmask = _lane_masks(meta, valid)
+    per_block = []
+    for s in range(meta.sigma):
+        comb = None
+        for j in range(meta.num_planes):
+            x = pl[:, j, :] if (s >> j) & 1 else ~pl[:, j, :]
+            comb = x if comb is None else comb & x
+        per_block.append(jnp.sum(jax.lax.population_count(comb & lmask),
+                                 axis=-1, dtype=U32))
+    cnt = jnp.stack(per_block, axis=1)
+    ckpt = jnp.concatenate(
+        [jnp.zeros((1, meta.sigma), U32),
+         jnp.cumsum(cnt[:-1], axis=0, dtype=U32)], axis=0)
+    return jnp.concatenate([ckpt, planes], axis=1)
 
 
 def rank_from_rows(meta, rows: jax.Array, rem: jax.Array, symidx: jax.Array) -> jax.Array:

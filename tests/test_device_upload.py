@@ -93,6 +93,27 @@ def test_plane_reduced_fused_width():
     assert dev.fused.shape[1] == 4 + 2 * 2  # sigma + planes_eff * lanes
 
 
+@pytest.mark.parametrize("block,n", [
+    (fmx.BLOCK3_U64, 5003),    # partial final block + plane reduction
+    (fmx.BLOCK2_U32, 777),     # 32-position blocks
+    (fmx.BLOCK3_U128, 4096),   # text divides evenly: zero-filled extra block
+    (fmx.BLOCK3_U64, 64),      # exactly one full block
+    (fmx.BLOCK3_U64, 63),      # single partial block
+])
+def test_ckpt_derive_fused_matches_host(block, n):
+    """Device-derived checkpoint columns (ops.rank.derive_fused_device)
+    must be bit-identical to the blob's host-assembled fused table —
+    including the final partial block's zero padding, which must not count
+    as symbol 0 (bwm/mod.rs:97-104,126-134)."""
+    rng = np.random.default_rng(n)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    fm = _build(text, [b"A", b"C", b"G", b"T"], block)
+    host = fm.to_device(dense_lut_entries=0, ckpt_derive=False)
+    derived = fm.to_device(dense_lut_entries=0, ckpt_derive=True)
+    np.testing.assert_array_equal(np.asarray(host.fused),
+                                  np.asarray(derived.fused))
+
+
 @pytest.mark.parametrize("n,ratio", [(10007, 4), (3001, 2)])
 def test_sa_fill_sorted_stream_rounds_match_builder(n, ratio):
     """The sorted stream-decode push rounds (_push_rounds_sorted) must be
