@@ -52,11 +52,29 @@ def _decode(meta, fused, sentinel, pos, stream_tbl, use_stream: bool):
     return pre_rank_and_symidx(meta, fused, sentinel, pos)
 
 
+def _compact_to(pos, val, active, cap: int):
+    """In-jit compaction to a STATIC smaller width ``cap``.  Only valid
+    when the live count fits ``cap`` (nonzero truncates silently beyond
+    it); the caller checks the returned count before adopting."""
+    idx = jnp.nonzero(active, size=cap, fill_value=0)[0]
+    count = jnp.sum(active.astype(jnp.int32))
+    new_active = jnp.arange(cap, dtype=jnp.int32) < count
+    return jnp.take(pos, idx), jnp.take(val, idx), new_active, count
+
+
 @functools.partial(jax.jit, donate_argnums=(7,),
-                   static_argnums=(0, 8, 9, 10))
+                   static_argnums=(0, 8, 9, 10, 11))
 def _push_rounds(meta, fused, count_arr, sentinel, pos, val, active, out,
-                 R: int, rounds: int, use_stream: bool, stream_tbl):
-    """Advance every live chain ``rounds`` LF steps, scattering values."""
+                 R: int, rounds: int, use_stream: bool, compact_cap: int,
+                 stream_tbl):
+    """Advance every live chain ``rounds`` LF steps, scattering values.
+
+    Also returns the state compacted to ``compact_cap`` lanes plus the
+    live count — fusing the ladder's compaction into this program keeps
+    the total executable count low (every distinct program pays a
+    one-time compile/load cost through the axon tunnel, measured
+    ~10-40 s/program on bad days — far more than the compact's work).
+    """
     n = out.shape[0]
 
     def body(_, carry):
@@ -74,12 +92,15 @@ def _push_rounds(meta, fused, count_arr, sentinel, pos, val, active, out,
         val = jnp.where(cont, val - U32(1), val)
         return pos, val, cont, out
 
-    return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
+    pos, val, active, out = jax.lax.fori_loop(
+        0, rounds, body, (pos, val, active, out))
+    cpos, cval, cactive, count = _compact_to(pos, val, active, compact_cap)
+    return pos, val, active, out, cpos, cval, cactive, count
 
 
-@functools.partial(jax.jit, donate_argnums=(6,), static_argnums=(0, 7, 8))
+@functools.partial(jax.jit, donate_argnums=(6,), static_argnums=(0, 7, 8, 9))
 def _push_rounds_sorted(meta, count_arr, sentinel, pos, val, active, out,
-                        R: int, rounds: int, stream_tbl):
+                        R: int, rounds: int, compact_cap: int, stream_tbl):
     """Stream-decode push rounds that stay in SORTED order across rounds.
 
     The scatter targets and values are carried per lane, so lane ORDER is
@@ -124,7 +145,10 @@ def _push_rounds_sorted(meta, count_arr, sentinel, pos, val, active, out,
         cont = alive2 & (nxt % U32(R) != 0)
         return nxt, vs - U32(1), cont, out
 
-    return jax.lax.fori_loop(0, rounds, body, (pos, val, active, out))
+    pos, val, active, out = jax.lax.fori_loop(
+        0, rounds, body, (pos, val, active, out))
+    cpos, cval, cactive, count = _compact_to(pos, val, active, compact_cap)
+    return pos, val, active, out, cpos, cval, cactive, count
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -136,14 +160,6 @@ def _seed(sa_up, n: int, R: int, width: int):
     val = jnp.zeros(width, U32).at[:m].set(sa_up)
     active = jnp.arange(width, dtype=jnp.int32) < m
     return out, pos, val, active
-
-
-@functools.partial(jax.jit, static_argnums=(3,))
-def _compact(pos, val, active, width: int):
-    idx = jnp.nonzero(active, size=width, fill_value=0)[0]
-    count = jnp.sum(active.astype(jnp.int32))
-    new_active = jnp.arange(width, dtype=jnp.int32) < count
-    return jnp.take(pos, idx), jnp.take(val, idx), new_active
 
 
 @functools.partial(jax.jit, donate_argnums=(4,), static_argnums=(0, 5))
@@ -192,13 +208,17 @@ def _pull_wrap(meta, fused, count_arr, sentinel, out, limit: int):
 def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
                         R: int, stream_tbl=None, use_stream: bool = False,
                         rounds_per_call: int = 4,
-                        stream_min_width: int = 1 << 24):
+                        stream_min_width: int = 1 << 24,
+                        ladder_jump: int = 16,
+                        ladder_floor: int = 1 << 19):
     """uint32 [n] device array == the full suffix array.
 
     ``sa_up``: device uint32 [m] with ``sa_up[i] == SA[R*i]`` (i.e. the
     blob's sampled SA strided down to ratio R).  ``R`` must satisfy
     ``R*i < n`` for all i.  Results are bit-exact vs the builder's
-    ``sa_full`` output (tested).
+    ``sa_full`` output (tested).  ``ladder_jump``/``ladder_floor`` tune
+    the width-compaction ladder (defaults bound the distinct-executable
+    count at ~3-4 for any text size — see the ladder comment below).
     """
     import os
     import time
@@ -212,36 +232,40 @@ def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
     if n <= 1:
         return out
 
+    # Ladder granularity: every distinct width is a distinct executable,
+    # and a big-width program pays a one-time compile/load cost through
+    # the axon tunnel measured at ~10-40 s on bad days — far more than
+    # the dead-lane decode waste a coarser ladder adds (a lane-round is
+    # ~18-26 ns).  16x jumps with the compaction FUSED into the push
+    # program (the push returns its state compacted to width/16 plus the
+    # live count) bound the program count at ~3-4 for any text size; the
+    # 2^19 floor keeps the tail a single cheap program.
+    JUMP = max(int(ladder_jump), 2)
+    FLOOR = max(int(ladder_floor), 4)
     while True:
-        # stream decode only for the few widest rounds: each (width, engine)
-        # pair is its own compiled program AND pays a one-time executable
-        # load; the 4x compaction ladder bounds the program count.  The
-        # stream rounds stay in sorted order (_push_rounds_sorted): one
-        # sort per round instead of the sort+unsort pair.
         stream_now = bool(use_stream) and width >= stream_min_width
         t0 = time.time()
+        shrinkable = width > FLOOR
+        cap = max(width // JUMP, FLOOR) if shrinkable else 1
         if stream_now:
-            pos, val, active, out = _push_rounds_sorted(
-                meta, count_arr, sentinel, pos, val, active, out,
-                R, rounds_per_call, stream_tbl)
+            pos, val, active, out, cpos, cval, cactive, cnt = \
+                _push_rounds_sorted(
+                    meta, count_arr, sentinel, pos, val, active, out,
+                    R, rounds_per_call, cap, stream_tbl)
             width = pos.shape[0]  # sorted rounds may pad to the chunk size
         else:
-            pos, val, active, out = _push_rounds(
+            pos, val, active, out, cpos, cval, cactive, cnt = _push_rounds(
                 meta, fused, count_arr, sentinel, pos, val, active, out,
-                R, rounds_per_call, stream_now, stream_tbl)
-        c = int(jnp.sum(active.astype(jnp.int32)))
+                R, rounds_per_call, stream_now, cap, stream_tbl)
+        c = int(cnt)
         if verbose:
             print(f"[sa_fill] width={width} stream={stream_now} "
                   f"active={c} ({time.time()-t0:.2f}s)", flush=True)
         if c == 0:
             break
-        # 2x ladder: rounds cost ~width regardless of live-lane count, so
-        # halving width as soon as half the lanes are dead saves more than
-        # the extra per-width compiles cost (all persistent-cache hits
-        # after the first run)
-        while c <= width // 2 and width > 4096:
-            width //= 2
-            pos, val, active = _compact(pos, val, active, width)
+        if shrinkable and c <= cap and cap < width:
+            pos, val, active = cpos, cval, cactive
+            width = cap
 
     # wrap segment: at most ~R + a geometric tail of rows remain
     out, n_unfilled, n_unresolved = _pull_wrap(

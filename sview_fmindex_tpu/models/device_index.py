@@ -468,14 +468,11 @@ class DeviceFmIndex:
             pair_fix = put(np.array([0xFFFFFFFF, 0], np.uint32))
         _tr("pair table", pair_tbl)
 
-        if dk and dk > dk_host:
-            from ..build.dense_lut import extend_dense_lut_device
-
-            dlo_dev, dhi_dev = extend_dense_lut_device(
-                meta, fused_dev, np.asarray(fm.count_array, dtype=np.uint32),
-                sent_dev, dlo_dev, dhi_dev, dk - dk_host)
-        _tr("dense extension", dlo_dev)
-
+        # SA fill runs BEFORE the dense extension: the fill's 4 GB output
+        # buffer plus its sort transients are the peak HBM moment of the
+        # cold path, and the dk>dk_host extension would add another ~2 GB
+        # of dense tables to the resident set during it (measured: the
+        # same fill is ~2x slower with the full table set resident).
         if sa_device_fill:
             from ..build.sa_fill import fill_sa_full_device
 
@@ -486,7 +483,16 @@ class DeviceFmIndex:
                 stream_tbl=stream_dev,
                 use_stream=(use_stream_engine
                             and jax.default_backend() == "tpu"))
+            sa_up = None  # free the strided upload before the dense tables
         _tr("sa fill", sa_dev)
+
+        if dk and dk > dk_host:
+            from ..build.dense_lut import extend_dense_lut_device
+
+            dlo_dev, dhi_dev = extend_dense_lut_device(
+                meta, fused_dev, np.asarray(fm.count_array, dtype=np.uint32),
+                sent_dev, dlo_dev, dhi_dev, dk - dk_host)
+        _tr("dense extension", dlo_dev)
         return cls(
             fused=fused_dev,
             kmer_tbl=kmer_dev,

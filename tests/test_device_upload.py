@@ -93,6 +93,37 @@ def test_plane_reduced_fused_width():
     assert dev.fused.shape[1] == 4 + 2 * 2  # sigma + planes_eff * lanes
 
 
+@pytest.mark.parametrize("jump,floor", [(4, 64), (16, 256), (2, 4)])
+def test_sa_fill_ladder_adoption_matches_builder(jump, floor):
+    """The fused-compaction width ladder (adopting the push program's
+    compacted state) must be bit-exact for any jump/floor — forced to
+    ladder repeatedly on a small case via tiny floor/jump."""
+    n, ratio = 20011, 4
+    rng = np.random.default_rng(n)
+    text = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "sa.u32")
+        fm = _build(text, [b"A", b"C", b"G", b"T"], fmx.BLOCK3_U64,
+                    sa_full_path=p)
+        sa_true = np.fromfile(p, dtype="<u4")
+    host = fm.to_device(dense_lut_entries=0)
+    from sview_fmindex_tpu.build.sa_fill import fill_sa_full_device
+    import jax.numpy as jnp
+
+    R = fm.sampling_ratio * ratio
+    sa_up = jnp.asarray(fm.suffix_array[::ratio].astype(np.uint32))
+    got = fill_sa_full_device(
+        host.meta, host.fused, host.count_arr, host.sentinel, sa_up,
+        n, R, ladder_jump=jump, ladder_floor=floor)
+    np.testing.assert_array_equal(np.asarray(got), sa_true)
+    # sorted stream rounds + ladder adoption (padded widths) together
+    got_s = fill_sa_full_device(
+        host.meta, host.fused, host.count_arr, host.sentinel, sa_up,
+        n, R, stream_tbl=host.stream_tbl, use_stream=True,
+        stream_min_width=0, ladder_jump=jump, ladder_floor=floor)
+    np.testing.assert_array_equal(np.asarray(got_s), sa_true)
+
+
 @pytest.mark.parametrize("block,n", [
     (fmx.BLOCK3_U64, 5003),    # partial final block + plane reduction
     (fmx.BLOCK2_U32, 777),     # 32-position blocks
