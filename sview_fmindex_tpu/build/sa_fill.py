@@ -246,17 +246,26 @@ def fill_sa_full_device(meta, fused, count_arr, sentinel, sa_up, n: int,
         stream_now = bool(use_stream) and width >= stream_min_width
         t0 = time.time()
         shrinkable = width > FLOOR
-        cap = max(width // JUMP, FLOOR) if shrinkable else 1
+        # at sorted-stream widths a round costs ~width x 22 ns whatever the
+        # live count, so dead-lane waste dwarfs the extra program loads a
+        # finer ladder costs there; gather widths are cheap enough that
+        # fewer programs win
+        jump = min(4, JUMP) if stream_now else JUMP
+        cap = max(width // jump, FLOOR) if shrinkable else 1
+        # at the floor width a call is cheap but each host sync of the
+        # live count costs a tunnel round trip — take 4x the rounds per
+        # call there (the extinction tail is ~R*log2(width) rounds)
+        rpc = rounds_per_call if shrinkable else rounds_per_call * 4
         if stream_now:
             pos, val, active, out, cpos, cval, cactive, cnt = \
                 _push_rounds_sorted(
                     meta, count_arr, sentinel, pos, val, active, out,
-                    R, rounds_per_call, cap, stream_tbl)
+                    R, rpc, cap, stream_tbl)
             width = pos.shape[0]  # sorted rounds may pad to the chunk size
         else:
             pos, val, active, out, cpos, cval, cactive, cnt = _push_rounds(
                 meta, fused, count_arr, sentinel, pos, val, active, out,
-                R, rounds_per_call, stream_now, cap, stream_tbl)
+                R, rpc, stream_now, cap, stream_tbl)
         c = int(cnt)
         if verbose:
             print(f"[sa_fill] width={width} stream={stream_now} "
