@@ -330,8 +330,11 @@ def test_derived_cache_roundtrip_and_stale_guard(tmp_path):
     pats = None
     for text in texts:
         fm = _build(text, symbols, BlockKind(3, 64), 2, 2)
-        dev1 = fm.to_device(derived_cache_dir=cache)
-        dev2 = fm.to_device(derived_cache_dir=cache)  # cache hit
+        # ckpt_derive=False: this test is about the HOST-assembled fused
+        # cache files; on the TPU backend "auto" derives the checkpoints
+        # on device and never writes a fused cache at all
+        dev1 = fm.to_device(derived_cache_dir=cache, ckpt_derive=False)
+        dev2 = fm.to_device(derived_cache_dir=cache, ckpt_derive=False)
         np.testing.assert_array_equal(np.asarray(dev1.fused), np.asarray(dev2.fused))
         patterns = [gen_rand_pattern(rng, text, 2, 8) for _ in range(20)]
         batch, lens = pack_patterns(patterns)
