@@ -184,12 +184,14 @@ def main() -> None:
         assert (counts >= 1).all()
         total = int(counts.sum())
 
-        # ---- steady state: best of 3 windows (criterion-style — the
+        # ---- steady state: best of 5 windows (criterion-style — the
         # tunnel daemon shares this host, and a single window can absorb
-        # its interference; the max is the sustained-rate estimator) ----
+        # its interference; the max is the sustained-rate estimator.
+        # 5 windows instead of 3 costs ~5 s total and measurably tightens
+        # the run-to-run spread on this shared host) ----
         def measure(run_one):
             best = 0.0
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 outs = [run_one() for _ in range(REPS)]
                 for o in outs:
